@@ -1,0 +1,16 @@
+"""Test configuration: run all tests on a virtual 8-device CPU mesh.
+
+Mirrors the reference's CPU-only test strategy (reference `testing/` runs on
+CPU in float64); multi-chip sharding is exercised via
+``--xla_force_host_platform_device_count=8`` as recommended for JAX.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
