@@ -1,0 +1,5 @@
+"""Pure-function SG-MCMC kernels over pytree chain state."""
+from .sgld import SGLD, SGLDState
+from .verlet_sgld import VerletSGLD, VerletSGLDState
+from .hmc import HMC
+from . import tree_util

@@ -1,0 +1,193 @@
+"""Model-layer tests: shapes, naming parity, potential math, batchnorm
+semantics (cross-checked against torch CPU), and prior-only models.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.stats as st
+
+from bnn_priors_tpu import models, priors
+
+KEY = jax.random.key(0)
+
+
+def test_dense_net_forward_and_names():
+    model = models.ClassificationDenseNet(10, 3, width=8, depth=3)
+    params, state = model.init(KEY)
+    # reference naming: net.{0,2,4}.{weight,bias}_prior.p
+    expected = {f"net.{i}.{w}_prior.p" for i in (0, 2, 4) for w in ("weight", "bias")}
+    assert set(params) == expected
+    assert state == {}
+    x = jax.random.normal(jax.random.key(1), (5, 10))
+    f, _ = model.net_apply(params, state, x)
+    assert f.shape == (5, 3)
+
+    y = jnp.asarray([0, 1, 2, 0, 1])
+    loss, log_prior, pot_avg, acc, f, _ = model.split_potential_and_acc(
+        params, state, x, y, eff_num_data=100)
+    # potential identity: pot_avg == loss - log_prior/eff_num_data
+    np.testing.assert_allclose(
+        float(pot_avg), float(loss) - float(log_prior) / 100, rtol=1e-6)
+    assert 0.0 <= float(acc) <= 1.0
+
+
+def test_classification_loglik_matches_softmax():
+    model = models.LogisticRegression(4, 3)
+    params, state = model.init(KEY)
+    x = jax.random.normal(jax.random.key(2), (6, 4))
+    y = jnp.asarray([0, 1, 2, 0, 1, 2])
+    f, _ = model.net_apply(params, state, x)
+    lps = model.likelihood_log_prob(params, f, y)
+    expected = jax.nn.log_softmax(f, axis=-1)[jnp.arange(6), y]
+    np.testing.assert_allclose(np.asarray(lps), np.asarray(expected), rtol=1e-6)
+
+
+def test_regression_model():
+    model = models.DenseNet(5, 2, width=8, noise_std=0.5)
+    params, state = model.init(KEY)
+    x = jax.random.normal(jax.random.key(3), (7, 5))
+    y = jax.random.normal(jax.random.key(4), (7, 2))
+    ll, _, f = model.log_likelihood(params, state, x, y, eff_num_data=7)
+    expected = st.norm(np.asarray(f), 0.5).logpdf(np.asarray(y)).sum()
+    np.testing.assert_allclose(float(ll), expected, rtol=1e-6)
+
+
+def test_regression_noise_prior():
+    "noise_std as a Prior adds a `noise_std.p` leaf and a prior term."
+    noise_prior = priors.LogNormal((), 0.0, 1.0)
+    model = models.DenseNet(5, 2, width=8, noise_std=noise_prior)
+    params, state = model.init(KEY)
+    assert "noise_std.p" in params
+
+
+def test_eff_num_data_scaling():
+    model = models.LogisticRegression(4, 3)
+    params, state = model.init(KEY)
+    x = jax.random.normal(jax.random.key(2), (6, 4))
+    y = jnp.asarray([0, 1, 2, 0, 1, 2])
+    ll6, _, _ = model.log_likelihood(params, state, x, y, eff_num_data=6)
+    ll60, _, _ = model.log_likelihood(params, state, x, y, eff_num_data=60)
+    np.testing.assert_allclose(float(ll60), 10 * float(ll6), rtol=1e-6)
+
+
+def test_masked_batch_equals_unpadded():
+    "Padded batches with masks give identical potentials to unpadded ones."
+    model = models.LogisticRegression(4, 3)
+    params, state = model.init(KEY)
+    x = jax.random.normal(jax.random.key(2), (6, 4))
+    y = jnp.asarray([0, 1, 2, 0, 1, 2])
+    pot_ref, _ = model.potential_avg(params, state, x[:4], y[:4], 100)
+    mask = jnp.asarray([1.0, 1, 1, 1, 0, 0])
+    pot_masked, _ = model.potential_avg(params, state, x, y, 100, mask=mask)
+    np.testing.assert_allclose(float(pot_masked), float(pot_ref), rtol=1e-6)
+
+
+def test_conv_net_forward():
+    model = models.ClassificationConvNet(1, 28, 10, width=4, depth=3)
+    params, state = model.init(KEY)
+    x = jax.random.normal(jax.random.key(5), (2, 784))
+    f, _ = model.net_apply(params, state, x)
+    assert f.shape == (2, 10)
+    # naming parity: conv layers at indices 1 and 4, linear at 8
+    assert "net.1.weight_prior.p" in params
+    assert params["net.1.weight_prior.p"].shape == (4, 1, 3, 3)
+    assert "net.8.weight_prior.p" in params
+
+
+def test_conv2d_matches_torch():
+    import torch
+    w = np.random.default_rng(0).normal(size=(5, 3, 3, 3))
+    b = np.random.default_rng(1).normal(size=(5,))
+    x = np.random.default_rng(2).normal(size=(2, 3, 8, 8))
+    conv = models.Conv2d(priors.Normal(w.shape, 0.0, 1.0),
+                         priors.Normal(b.shape, 0.0, 1.0),
+                         stride=2, padding=1)
+    params = {"c.weight_prior.p": jnp.asarray(w), "c.bias_prior.p": jnp.asarray(b)}
+    from bnn_priors_tpu.models.layers import to_nhwc
+    y, _ = conv.apply(params, {}, "c", to_nhwc(jnp.asarray(x)))
+    y = np.transpose(np.asarray(y), (0, 3, 1, 2))  # back to NCHW
+    yt = torch.nn.functional.conv2d(
+        torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+        stride=2, padding=1).numpy()
+    np.testing.assert_allclose(y, yt, atol=1e-10)
+
+
+def test_batchnorm_matches_torch():
+    import torch
+    x = np.random.default_rng(3).normal(size=(4, 3, 5, 5)).astype(np.float32)
+    bn = models.BatchNorm2d(3)
+    params, state = bn.init(KEY, "bn")
+    tbn = torch.nn.BatchNorm2d(3)
+    from bnn_priors_tpu.models.layers import to_nhwc
+    # two training steps, then eval
+    xs = [x, x * 2 + 1]
+    tbn.train()
+    for xi in xs:
+        y, state = bn.apply(params, state, "bn", to_nhwc(jnp.asarray(xi)), train=True)
+        yt = tbn(torch.from_numpy(xi)).detach().numpy()
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(y), (0, 3, 1, 2)), yt, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(state["bn.running_mean"]), tbn.running_mean.numpy(), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(state["bn.running_var"]), tbn.running_var.numpy(), atol=1e-4)
+    tbn.eval()
+    y, _ = bn.apply(params, state, "bn", to_nhwc(jnp.asarray(x)), train=False)
+    yt = tbn(torch.from_numpy(x)).detach().numpy()
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(y), (0, 3, 1, 2)), yt, atol=1e-4)
+
+
+def test_preact_resnet18_smoke():
+    model = models.ThinPreActResNet18()
+    params, state = model.init(KEY, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(6), (2, 3, 32, 32), dtype=jnp.float32)
+    f, new_state = model.net_apply(params, state, x, train=True)
+    assert f.shape == (2, 10)
+    assert "net.conv1.weight_prior.p" in params
+    assert "net.layer1.0.bn1.running_mean" in state
+    # batchnorm state updated in training mode
+    assert not np.allclose(
+        np.asarray(new_state["net.layer1.0.bn1.running_mean"]),
+        np.asarray(state["net.layer1.0.bn1.running_mean"]))
+    assert np.isfinite(float(model.log_prior(params)))
+
+
+def test_google_resnet20_smoke():
+    model = models.ResNet(depth=20)
+    params, state = model.init(KEY, dtype=jnp.float32)
+    # 6n+2 check
+    with pytest.raises(ValueError):
+        models.ResNet(depth=21)
+    x = jax.random.normal(jax.random.key(7), (2, 3, 32, 32), dtype=jnp.float32)
+    f, _ = model.net_apply(params, state, x, train=False)
+    assert f.shape == (2, 10)
+    # naming parity: first conv at net.0, linear at the end
+    assert "net.0.weight_prior.p" in params
+    assert params["net.0.weight_prior.p"].shape == (16, 3, 3, 3)
+    n_params = sum(int(np.prod(v.shape)) for v in params.values())
+    assert 250_000 < n_params < 300_000  # ResNet-20 ~274k
+
+
+def test_gaussian_model():
+    model = models.GaussianModel(N=3, D=4, std=2.0)
+    params, state = model.init(KEY)
+    assert set(params) == {"0.p", "1.p", "2.p"}
+    lp = float(model.log_prior(params))
+    expected = sum(
+        st.norm(0, 2.0).logpdf(np.asarray(params[f"{i}.p"])).sum() for i in range(3))
+    np.testing.assert_allclose(lp, expected, rtol=1e-6)
+    pot_fn = model.potential_avg_fn(eff_num_data=1.0)
+    pot, _ = pot_fn(params)
+    np.testing.assert_allclose(float(pot), -lp, rtol=1e-6)
+    g = jax.grad(lambda p: pot_fn(p)[0])(params)
+    np.testing.assert_allclose(
+        np.asarray(g["0.p"]), np.asarray(params["0.p"]) / 4.0, rtol=1e-6)
+
+
+def test_sample_all_priors():
+    model = models.GaussianModel(N=2, D=3)
+    params, _ = model.init(KEY)
+    new = model.sample_all_priors(jax.random.key(9), params)
+    assert not np.allclose(np.asarray(new["0.p"]), np.asarray(params["0.p"]))

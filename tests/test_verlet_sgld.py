@@ -1,0 +1,154 @@
+"""VerletSGLD (GGMC) kernel tests, porting reference
+`testing/test_verlet_sgld.py`: distribution preservation with M-H every 4
+steps (acceptance ≥ 0.6), and the incremental energy-accounting identity
+    ΔE = Σ point-energies + Σ −½⟨θ₁−θ₀, g₁+g₀⟩ + ΔU
+in float64.
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.stats
+
+from bnn_priors_tpu.mcmc import VerletSGLD
+from bnn_priors_tpu.models import GaussianModel, NealFunnelT
+
+
+def test_distribution_preservation(n_vars=50, n_dim=1000, n_samples=200,
+                                   mh_freq=4, seed=145):
+    mean, std = 1.0, 2.0
+    temperature = 3 / 4
+    lr = 1 / 32
+    model = GaussianModel(N=n_vars, D=n_dim, mean=mean, std=std)
+    key = jax.random.key(seed)
+    k_init, k_chain, k_prec = jax.random.split(key, 3)
+    params, _ = model.init(k_init)
+    params = {k: (v - mean) * temperature ** 0.5 + mean for k, v in params.items()}
+
+    kernel = VerletSGLD(num_data=1, momentum=0.9)
+    state = kernel.init(params, k_chain, save_state=True)
+    precs = jax.random.uniform(k_prec, (n_vars,), dtype=jnp.float64)
+    state = state._replace(precond=kernel.packer.pack_leaf_scalars(
+        {k: (precs[i] + 0.2) / math.sqrt(4) for i, k in enumerate(params)}))
+    state = kernel.sample_momentum(state, temperature)
+
+    pot_fn = model.potential_avg_fn(eff_num_data=1.0)
+    vg = jax.value_and_grad(pot_fn, has_aux=True)
+    grad_of = jax.jit(lambda s: vg(kernel.params_of(s)))
+
+    mid = jax.jit(lambda s, g: kernel.step(s, g, lr, temperature))
+    fin = jax.jit(lambda s, g: kernel.final_step(s, g, lr, temperature))
+    ini = jax.jit(lambda s, g: kernel.initial_step(s, g, lr, temperature,
+                                                   save_state=True))
+
+    sum_acceptance, n_acceptance = 0.0, 0
+    assert n_samples % mh_freq == 0
+    prev_loss = None
+    metrics = None
+    for step in range(n_samples + 1):
+        (loss, _), grads = grad_of(state)
+        if step % mh_freq == 0:
+            if step != 0:
+                state, metrics = fin(state, grads)
+                delta_energy = float(kernel.delta_energy(
+                    state, grads, 1/32, prev_loss, float(loss)))
+                state, rejected, _ = kernel.maybe_reject(
+                    state, jnp.asarray(delta_energy), temperature)
+                if bool(rejected):
+                    (loss_rb, _), _ = grad_of(state)
+                    assert np.allclose(prev_loss, float(loss_rb))
+                n_acceptance += 1
+                sum_acceptance += min(1.0, math.exp(-delta_energy))
+                if step == n_samples:
+                    break
+                (loss, _), grads = grad_of(state)
+            prev_loss = float(loss)
+            state, _ = ini(state, grads)
+        else:
+            state, _ = mid(state, grads)
+
+    assert sum_acceptance / n_acceptance > 0.6
+
+    params_out = kernel.params_of(state)
+    parameters = np.concatenate(
+        [np.asarray(v).ravel() for v in params_out.values()])
+    kinetic_temp = np.asarray([metrics["est_temperature"][k] for k in params_out])
+    config_temp = np.asarray([metrics["est_config_temp"][k] for k in params_out])
+
+    stat, crit, sig = scipy.stats.anderson(parameters, dist="norm")[:3]
+    assert sig[0] == 15
+    assert stat < crit[0], "samples are not Normal with p<0.15"
+
+    def norm_cdf(x):
+        return scipy.stats.norm.cdf(x, loc=mean, scale=std * temperature ** 0.5)
+    assert scipy.stats.ks_1samp(parameters, norm_cdf, mode="asymp").pvalue >= 0.3
+
+    def chi2_cdf(x):
+        return scipy.stats.chi2.cdf(x, df=n_dim, loc=0.0, scale=temperature / n_dim)
+    assert scipy.stats.ks_1samp(config_temp, chi2_cdf, mode="exact").pvalue >= 0.3
+    assert scipy.stats.ks_1samp(kinetic_temp, chi2_cdf, mode="exact").pvalue >= 0.3
+
+
+def test_accept_prob(n_samples=10, seed=145):
+    "Incremental ΔE equals the independently-computed trajectory energy."
+    model = NealFunnelT()
+    temperature = 3 / 4
+    momentum = 127 / 128
+    lr = 1 / 32
+    kernel = VerletSGLD(num_data=1, momentum=momentum)
+
+    key = jax.random.key(seed)
+    k_init, k_chain, k_prec, k_sample = jax.random.split(key, 4)
+    params, _ = model.init(k_init)
+    params = model.sample_all_priors(k_sample, params)
+
+    state = kernel.init(params, k_chain)
+    precs = {k: (jax.random.uniform(jax.random.fold_in(k_prec, i), (),
+                                    dtype=jnp.float64) + 0.2)
+             / math.sqrt(4) for i, k in enumerate(params)}
+    state = state._replace(precond=kernel.packer.pack_leaf_scalars(precs))
+    state = kernel.sample_momentum(state, temperature)
+
+    pot_fn = model.potential_avg_fn(eff_num_data=1.0)
+    vg = jax.value_and_grad(pot_fn, has_aux=True)
+
+    def snapshot(state, grads):
+        return (jax.tree_util.tree_map(np.asarray, kernel.params_of(state)),
+                jax.tree_util.tree_map(np.asarray, grads))
+
+    states = []
+    (U0, _), grads = vg(kernel.params_of(state))
+    U0 = float(U0)
+    states.append(snapshot(state, grads))
+    state, _ = kernel.initial_step(state, grads, lr, temperature)
+    for s in range(1, n_samples):
+        (_, _), grads = vg(kernel.params_of(state))
+        states.append(snapshot(state, grads))
+        state, _ = kernel.step(state, grads, lr, temperature)
+        if s == n_samples - 1:
+            (U1, _), grads = vg(kernel.params_of(state))
+            U1 = float(U1)
+            state, _ = kernel.final_step(state, grads, lr, temperature)
+            states.append(snapshot(state, grads))
+
+    # reference computation of ΔE from the stored trajectory
+    time_step_sq = lr  # num_data=1
+    delta_energy_ref = 0.0
+    _, grads0 = states[0]
+    _, grads1 = states[-1]
+    for k in params:
+        C = time_step_sq * float(precs[k]) ** 2 / 8
+        delta_energy_ref += C * (np.sum(grads1[k] ** 2) - np.sum(grads0[k] ** 2))
+
+    for i in range(1, len(states)):
+        p0, g0 = states[i - 1]
+        p1, g1 = states[i]
+        for k in params:
+            delta_energy_ref += -0.5 * np.sum((p1[k] - p0[k]) * (g1[k] + g0[k]))
+
+    delta_energy_ref += U1 - U0
+
+    delta_energy = float(kernel.delta_energy(state, state.grads, lr, U0, U1))
+    assert np.allclose(delta_energy_ref, delta_energy), \
+        f"{delta_energy_ref} != {delta_energy}"
