@@ -1,0 +1,3 @@
+"""Cyclical SG-MCMC inference runners."""
+from .runner import HMCRunner, SGLDRunner, VerletSGLDRunner
+from .schedules import get_cosine_schedule, make_schedule

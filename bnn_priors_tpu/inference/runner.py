@@ -1,0 +1,519 @@
+"""Cyclical SG-MCMC training runners.
+
+TPU-native re-design of reference `bnn_priors/inference.py`. Each cycle has
+descent (T=0), warmup, and sampling phases with a cosine LR schedule
+(`SGLDRunner` docstring, inference.py:15-51). The reference iterates a
+torch DataLoader and calls a stateful optimizer per minibatch with ~dozens
+of `.item()` host syncs per step; here:
+
+* the full training set lives on device; each epoch draws a permutation on
+  device and runs ONE jitted `lax.scan` over the minibatches (static batch
+  count, static shapes; the ragged tail batch gets its own compiled step
+  with its true static size so likelihood scaling and batchnorm statistics
+  match the reference exactly);
+* the LR schedule is evaluated inside the scan from the global step index;
+* per-step diagnostics are accumulated on device and written to the
+  metrics saver once per epoch;
+* epoch boundaries (sample saving, preconditioner update, M-H boundary
+  steps, evaluation) stay in a cheap Python loop, mirroring the reference
+  protocol exactly (inference.py:110-187, 304-365).
+
+Step protocol parity notes:
+* scheduler order: the reference calls `optimizer.step()` then
+  `scheduler.step()` (inference.py:238-243), so global step t uses
+  lr₀·sched(t) with sched(0)=1.
+* `VerletSGLDRunner` performs final_step → ΔE → (maybe_reject) →
+  initial_step at the FIRST minibatch of the epoch following each sampling
+  epoch, reusing that minibatch's gradient (inference.py:304-365).
+* samples are saved at the END of each sampling epoch, *before* the next
+  boundary's M-H decision — matching the reference, whose
+  `reject_samples_` post-processing resolves rejected samples afterwards.
+"""
+from __future__ import annotations
+
+import math
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import mcmc
+from .schedules import make_schedule
+
+
+class SGLDRunner:
+    def __init__(self, model, train_data, test_data, epochs_per_cycle,
+                 warmup_epochs, sample_epochs, learning_rate=1e-2, skip=1,
+                 metrics_skip=1, temperature=1.0, data_mult=1.0, momentum=0.0,
+                 sampling_decay=True, grad_max=1e6, cycles=1,
+                 precond_update=None, metrics_saver=None, model_saver=None,
+                 reject_samples=False, batch_size=128, eval_batch_size=None,
+                 augment_fn: Optional[Callable] = None,
+                 init_params=None, init_model_state=None, key=None):
+        self.model = model
+        self.train_x, self.train_y = train_data
+        if test_data is not None:
+            self.test_x, self.test_y = test_data
+        else:
+            self.test_x = self.test_y = None
+
+        assert warmup_epochs >= 0 and sample_epochs >= 0
+        assert epochs_per_cycle >= warmup_epochs + sample_epochs
+        self.epochs_per_cycle = epochs_per_cycle
+        self.descent_epochs = epochs_per_cycle - warmup_epochs - sample_epochs
+        self.warmup_epochs = warmup_epochs
+        self.sample_epochs = sample_epochs
+        self.skip = skip
+        self.metrics_skip = metrics_skip
+        self.num_samples = sample_epochs // skip
+        assert sample_epochs % skip == 0
+
+        self.learning_rate = learning_rate
+        self.temperature = temperature
+        self.N = int(self.train_x.shape[0])
+        self.eff_num_data = self.N * data_mult
+        self.momentum = momentum
+        self.sampling_decay = sampling_decay
+        self.grad_max = grad_max
+        self.cycles = cycles
+        self.precond_update = precond_update
+        self.metrics_saver = metrics_saver
+        self.model_saver = model_saver
+        self.reject_samples = reject_samples
+        self.batch_size = int(batch_size)
+        self.eval_batch_size = int(eval_batch_size or batch_size)
+        self.augment_fn = augment_fn
+
+        self.n_full = self.N // self.batch_size
+        self.tail = self.N - self.n_full * self.batch_size
+        self.steps_per_epoch = self.n_full + (1 if self.tail else 0)
+        self.schedule = make_schedule(
+            sampling_decay, self.steps_per_epoch * epochs_per_cycle,
+            steps_per_stair=150 * self.steps_per_epoch)
+
+        self.key = key if key is not None else jax.random.key(0)
+        k_init, k_chain, self.key = jax.random.split(self.key, 3)
+        if init_params is None:
+            init_params, model_state = model.init(k_init)
+            if init_model_state is None:
+                init_model_state = model_state
+        if init_model_state is None:
+            init_model_state = {}
+        self.kernel = self._make_kernel()
+        self.chain = self.kernel.init(init_params, k_chain,
+                                      **self._init_kwargs())
+        self.model_state = init_model_state
+        self._samples: Dict[str, list] = {}
+        self._sample_steps: list = []
+        self._jit_cache: Dict[Any, Callable] = {}
+        self._initial_potential = 0.0
+        self._total_energy = 0.0
+
+    # -- kernel factory ----------------------------------------------------
+    def _make_kernel(self):
+        assert self.reject_samples is False, "SGLD cannot reject samples"
+        return mcmc.SGLD(num_data=self.eff_num_data, momentum=self.momentum)
+
+    def _init_kwargs(self):
+        return {}
+
+    # -- jitted pieces -----------------------------------------------------
+    def _value_grad_of_batch(self, position, model_state, xb, yb, aug_key):
+        if self.augment_fn is not None:
+            xb = self.augment_fn(aug_key, xb)
+        params = self.kernel.unpack(position)
+        fn = self.model.potential_avg_fn(model_state, xb, yb,
+                                         self.eff_num_data, train=True)
+        (pot, (new_model_state, aux)), grads = jax.value_and_grad(
+            fn, has_aux=True)(params)
+        g = jnp.clip(self.kernel.pack(grads), -self.grad_max, self.grad_max)
+        return pot, aux, new_model_state, g
+
+    def _plain_step(self, carry, idx, temperature):
+        "one minibatch transition (kernel mid-step) + metrics"
+        chain, model_state, step = carry
+        key_aug = jax.random.fold_in(jax.random.key(1), step) \
+            if self.augment_fn is not None else None
+        xb = jnp.take(self.train_x, idx, axis=0)
+        yb = jnp.take(self.train_y, idx, axis=0)
+        pot, aux, model_state, g = self._value_grad_of_batch(
+            chain.position, model_state, xb, yb, key_aug)
+        lr = self.learning_rate * self.schedule(step)
+        chain, kmetrics = self.kernel.step(chain, g, lr, temperature)
+        metrics = {
+            "loss": aux["loss"], "acc": aux["acc"],
+            "log_prior": aux["log_prior"], "potential": pot, "lr": lr,
+            "est_temperature": self.kernel.packer.pack_leaf_scalars(
+                kmetrics["est_temperature"]),
+            "est_config_temp": self.kernel.packer.pack_leaf_scalars(
+                kmetrics["est_config_temp"]),
+        }
+        return (chain, model_state, step + 1), metrics
+
+    def _get_jit(self, name, builder):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(builder())
+        return self._jit_cache[name]
+
+    def _scan_steps(self, chain, model_state, step, idxs, temperature):
+        "jitted scan over a (n, B) batch-index array of plain steps"
+        n = idxs.shape[0]
+        B = idxs.shape[1]
+
+        def builder():
+            def f(chain, model_state, step, idxs, temperature):
+                def body(carry, idx):
+                    return self._plain_step(carry, idx, temperature)
+                carry, ms = jax.lax.scan(
+                    body, (chain, model_state, step), idxs)
+                return carry, ms
+            return f
+        f = self._get_jit(("scan", n, B), builder)
+        (chain, model_state, step), ms = f(
+            chain, model_state, jnp.asarray(step), idxs,
+            jnp.asarray(temperature, self.chain.position.dtype))
+        return chain, model_state, ms
+
+    def _single_step(self, chain, model_state, step, idx, temperature):
+        B = idx.shape[0]
+
+        def builder():
+            def f(chain, model_state, step, idx, temperature):
+                carry, m = self._plain_step((chain, model_state, step), idx,
+                                            temperature)
+                return carry, m
+            return f
+        f = self._get_jit(("single", B), builder)
+        (chain, model_state, step), m = f(
+            chain, model_state, jnp.asarray(step), idx,
+            jnp.asarray(temperature, self.chain.position.dtype))
+        return chain, model_state, m
+
+    # -- epoch orchestration ----------------------------------------------
+    def _epoch_perm(self, cycle, epoch):
+        self.key, sub = jax.random.split(self.key)
+        return jax.random.permutation(sub, self.N)
+
+    def _is_sampling_epoch(self, epoch):
+        epoch = epoch % self.epochs_per_cycle
+        sampling_epoch = epoch - (self.descent_epochs + self.warmup_epochs)
+        return (0 <= sampling_epoch) and (sampling_epoch % self.skip == 0)
+
+    def _run_epoch(self, cycle, epoch, step, boundary):
+        """Run one epoch; returns (new_step, epoch_metrics_dict).
+        `boundary` marks that the first minibatch must perform the
+        runner-specific boundary transition (no-op for plain SGLD)."""
+        temperature = 0.0 if epoch < self.descent_epochs else self.temperature
+        perm = self._epoch_perm(cycle, epoch)
+        idx_full = perm[: self.n_full * self.batch_size].reshape(
+            self.n_full, self.batch_size)
+        metrics_list = []
+        boundary_metrics = None
+
+        chain, model_state = self.chain, self.model_state
+        start = 0
+        if boundary is not None:
+            chain, model_state, m, boundary_metrics = self._boundary(
+                chain, model_state, step, idx_full[0], temperature, boundary)
+            metrics_list.append(jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a)[None], m))
+            step += 1
+            start = 1
+        if self.n_full - start > 0:
+            chain, model_state, ms = self._scan_steps(
+                chain, model_state, step, idx_full[start:], temperature)
+            metrics_list.append(ms)
+            step += self.n_full - start
+        if self.tail:
+            idx_tail = perm[self.n_full * self.batch_size:]
+            chain, model_state, m = self._single_step(
+                chain, model_state, step, idx_tail, temperature)
+            metrics_list.append(jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a)[None], m))
+            step += 1
+        self.chain, self.model_state = chain, model_state
+
+        metrics = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs), *metrics_list)
+        return step, metrics, boundary_metrics
+
+    def _boundary(self, chain, model_state, step, idx, temperature, kind):
+        "plain SGLD has no boundary transitions; run a normal step"
+        chain, model_state, m = self._single_step(
+            chain, model_state, step, idx, temperature)
+        return chain, model_state, m, {"rejected": None, "delta_energy": None,
+                                       "total_energy": None}
+
+    # -- public API --------------------------------------------------------
+    def run(self, progressbar=False):
+        # initial momentum refresh (reference inference.py:120)
+        self.chain = self.kernel.sample_momentum(self.chain, self.temperature)
+        step = 0
+        first = True
+        iterator = range(self.cycles)
+        if progressbar:
+            import tqdm
+            iterator = tqdm.tqdm(iterator, desc="cycles")
+        for cycle in iterator:
+            for epoch in range(self.epochs_per_cycle):
+                boundary = None
+                if first:
+                    boundary = "first"
+                elif self._is_sampling_epoch(epoch - 1):
+                    boundary = "sample"
+                step = self._finish_epoch(cycle, epoch, step, boundary)
+                first = False
+        # final boundary step to log metrics for the last sample
+        # (reference inference.py:182-187)
+        perm = self._epoch_perm(self.cycles, 0)
+        idx = perm[: self.batch_size]
+        boundary = "sample" if self._is_sampling_epoch(-1) else None
+        if boundary:
+            self.chain, self.model_state, m, bm = self._boundary(
+                self.chain, self.model_state, step, idx, self.temperature,
+                boundary)
+        else:
+            self.chain, self.model_state, m = self._single_step(
+                self.chain, self.model_state, step, idx, self.temperature)
+            bm = None
+        self._log_metrics(step, jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a)[None], m), bm, corresponds_to_sample=bool(boundary))
+        if self.metrics_saver is not None:
+            self.metrics_saver.flush()
+
+    def _finish_epoch(self, cycle, epoch, step, boundary):
+        step0 = step
+        step, metrics, boundary_metrics = self._run_epoch(
+            cycle, epoch, step, boundary)
+        if not np.all(np.isfinite(np.asarray(metrics["potential"]))):
+            raise ValueError("Potential is NaN")
+        self._log_metrics(step0, metrics, boundary_metrics,
+                          corresponds_to_sample=(boundary is not None))
+        if self.precond_update is not None and self._precond_due(epoch):
+            self.chain = self.kernel.update_preconditioner(self.chain)
+        if self._is_sampling_epoch(epoch):
+            self._save_sample(step - 1)
+        self._evaluate_and_log(step - 1)
+        if self.metrics_saver is not None:
+            self.metrics_saver.flush(every_s=10, keep_last_row=True)
+        return step
+
+    def _precond_due(self, epoch):
+        return epoch % self.precond_update == 0
+
+    # -- samples -----------------------------------------------------------
+    def current_state_dict(self):
+        "params + model buffers, like the reference state_dict"
+        params = self.kernel.params_of(self.chain)
+        out = {k: np.asarray(v) for k, v in params.items()}
+        out.update({k: np.asarray(v) for k, v in self.model_state.items()})
+        return out
+
+    def _save_sample(self, step):
+        sd = self.current_state_dict()
+        if self.model_saver is None:
+            for k, v in sd.items():
+                self._samples.setdefault(k, []).append(v)
+            self._sample_steps.append(step)
+        else:
+            self.model_saver.add_state_dict(sd, step)
+            self.model_saver.flush()
+
+    def get_samples(self):
+        if self.model_saver is None:
+            return {k: np.stack(v) for k, v in self._samples.items()}
+        return self.model_saver.load_samples(keep_steps=False)
+
+    # -- evaluation --------------------------------------------------------
+    def _evaluate_and_log(self, step):
+        if self.test_x is None:
+            return {}
+        acc, lp = self._eval_current()
+        if self.metrics_saver is not None:
+            self.metrics_saver.add_scalar("test/loss", -lp, step)
+            self.metrics_saver.add_scalar("test/acc", acc, step)
+        return {"test/acc": acc, "test/loss": -lp}
+
+    def _eval_current(self):
+        B = self.eval_batch_size
+        n = self.test_x.shape[0]
+        n_batches = math.ceil(n / B)
+        pad = n_batches * B - n
+
+        def builder():
+            def f(position, model_state, xs, ys, mask):
+                params = self.kernel.unpack(position)
+
+                def body(_, batch):
+                    xb, yb, mb = batch
+                    fout, _ = self.model.net_apply(params, model_state, xb,
+                                                   train=False)
+                    lps = self.model.likelihood_log_prob(params, fout, yb)
+                    acc = self.model.acc_fn(fout, yb, params)
+                    return None, (jnp.sum(lps * mb), jnp.sum(acc * mb))
+                _, (lps, accs) = jax.lax.scan(body, None, (xs, ys, mask))
+                return jnp.sum(lps) / n, jnp.sum(accs) / n
+            return f
+        f = self._get_jit(("eval", B, n_batches), builder)
+        xs = jnp.concatenate([self.test_x, self.test_x[:pad]]) if pad else self.test_x
+        ys = jnp.concatenate([self.test_y, self.test_y[:pad]]) if pad else self.test_y
+        mask = jnp.concatenate([jnp.ones(n), jnp.zeros(pad)])
+        xs = xs.reshape((n_batches, B) + xs.shape[1:])
+        ys = ys.reshape((n_batches, B) + ys.shape[1:])
+        mask = mask.reshape(n_batches, B)
+        lp, acc = f(self.chain.position, self.model_state, xs, ys, mask)
+        return float(acc), float(lp)
+
+    # -- metric logging ----------------------------------------------------
+    def _log_metrics(self, step0, metrics, boundary_metrics,
+                     corresponds_to_sample=False):
+        if self.metrics_saver is None:
+            return
+        add = self.metrics_saver.add_scalar
+        names = self.kernel.packer.names
+        est_t = np.asarray(metrics["est_temperature"])
+        est_c = np.asarray(metrics["est_config_temp"])
+        precond = np.asarray(self.chain.precond)
+        sizes = np.asarray(self.kernel.packer.sizes, dtype=np.float64)
+        n_steps = est_t.shape[0]
+        scalars = {k: np.asarray(metrics[k])
+                   for k in ("loss", "acc", "log_prior", "potential", "lr")}
+        for i in range(n_steps):
+            step = step0 + i
+            # metrics of step t are logged under index t-1, like the
+            # reference ("the metrics are valid for the previous step",
+            # inference.py:244-248)
+            if (step % self.metrics_skip != 0) and i != 0:
+                continue
+            li = step - 1
+            for j, name in enumerate(names):
+                add("preconditioner/" + name, float(precond[j]), li)
+                add("est_temperature/" + name, float(est_t[i, j]), li)
+                add("est_config_temp/" + name, float(est_c[i, j]), li)
+            add("est_temperature/all",
+                float((est_t[i] * sizes).sum() / sizes.sum()), li)
+            add("est_config_temp/all",
+                float((est_c[i] * sizes).sum() / sizes.sum()), li)
+            add("temperature", float(self.temperature), li)
+            for k, v in scalars.items():
+                add(k, float(v[i]), li)
+            add("acceptance/is_sample",
+                int(corresponds_to_sample and i == 0), li)
+        if boundary_metrics:
+            li = step0 - 1
+            if boundary_metrics.get("delta_energy") is not None:
+                add("delta_energy", float(boundary_metrics["delta_energy"]), li)
+                add("total_energy", float(boundary_metrics["total_energy"]), li)
+            if boundary_metrics.get("rejected") is not None:
+                add("acceptance/rejected",
+                    int(boundary_metrics["rejected"]), li)
+
+
+class VerletSGLDRunner(SGLDRunner):
+    "GGMC runner with three-phase boundaries (reference inference.py:297-365)."
+
+    def _make_kernel(self):
+        return mcmc.VerletSGLD(num_data=self.eff_num_data,
+                               momentum=self.momentum)
+
+    def _init_kwargs(self):
+        return {"save_state": self.reject_samples}
+
+    def _is_hmc(self):
+        return isinstance(self.kernel, mcmc.HMC)
+
+    def _boundary(self, chain, model_state, step, idx, temperature, kind):
+        """kind='first': very first step → initial_step.
+        kind='sample': final_step + ΔE (+maybe_reject) + initial_step,
+        reusing this minibatch's gradient."""
+        B = idx.shape[0]
+
+        def builder_first():
+            def f(chain, model_state, step, idx, temperature, key_mom):
+                xb = jnp.take(self.train_x, idx, axis=0)
+                yb = jnp.take(self.train_y, idx, axis=0)
+                pot, aux, model_state, g = self._value_grad_of_batch(
+                    chain.position, model_state, xb, yb, None)
+                lr = self.learning_rate * self.schedule(step)
+                if self._is_hmc():
+                    chain = self.kernel.sample_momentum(chain, temperature)
+                chain, km = self.kernel.initial_step(
+                    chain, g, lr, temperature,
+                    save_state=self.reject_samples)
+                de = self.kernel.delta_energy(chain, g, lr, 0.0, 0.0)
+                metrics = self._metric_dict(pot, aux, lr, km)
+                return chain, model_state, metrics, pot, de
+            return f
+
+        def builder_boundary():
+            def f(chain, model_state, step, idx, temperature,
+                  initial_potential):
+                xb = jnp.take(self.train_x, idx, axis=0)
+                yb = jnp.take(self.train_y, idx, axis=0)
+                pot, aux, model_state, g = self._value_grad_of_batch(
+                    chain.position, model_state, xb, yb, None)
+                lr = self.learning_rate * self.schedule(step)
+                chain, km = self.kernel.final_step(chain, g, lr, temperature)
+                de = self.kernel.delta_energy(chain, g, lr,
+                                              initial_potential, pot)
+                if self.reject_samples:
+                    chain, rejected, _ = self.kernel.maybe_reject(
+                        chain, de, temperature)
+                else:
+                    rejected = jnp.asarray(False)
+                if self._is_hmc():
+                    chain = self.kernel.sample_momentum(chain, temperature)
+                # initial step reuses the same gradient (possibly rolled
+                # back by the rejection)
+                chain, _ = self.kernel.initial_step(
+                    chain, chain.grads, lr, temperature,
+                    save_state=self.reject_samples)
+                metrics = self._metric_dict(pot, aux, lr, km)
+                return chain, model_state, metrics, pot, de, rejected
+            return f
+
+        dt = self.chain.position.dtype
+        if kind == "first":
+            f = self._get_jit(("boundary_first", B), builder_first)
+            k_mom, self.key = jax.random.split(self.key)
+            chain, model_state, metrics, pot, de = f(
+                chain, model_state, jnp.asarray(step), idx,
+                jnp.asarray(temperature, dt), k_mom)
+            self._initial_potential = float(pot)
+            self._total_energy = 0.0
+            return chain, model_state, metrics, {
+                "delta_energy": float(de), "total_energy": 0.0,
+                "rejected": (False if self.reject_samples else None)}
+        else:
+            f = self._get_jit(("boundary_sample", B), builder_boundary)
+            chain, model_state, metrics, pot, de, rejected = f(
+                chain, model_state, jnp.asarray(step), idx,
+                jnp.asarray(temperature, dt),
+                jnp.asarray(self._initial_potential, dt))
+            self._initial_potential = float(pot)
+            self._total_energy += float(de)
+            return chain, model_state, metrics, {
+                "delta_energy": float(de),
+                "total_energy": self._total_energy,
+                "rejected": (bool(rejected) if self.reject_samples else None)}
+
+    def _metric_dict(self, pot, aux, lr, km):
+        return {
+            "loss": aux["loss"], "acc": aux["acc"],
+            "log_prior": aux["log_prior"], "potential": pot, "lr": lr,
+            "est_temperature": self.kernel.packer.pack_leaf_scalars(
+                km["est_temperature"]),
+            "est_config_temp": self.kernel.packer.pack_leaf_scalars(
+                km["est_config_temp"]),
+        }
+
+
+class HMCRunner(VerletSGLDRunner):
+    def _make_kernel(self):
+        assert self.temperature == 1.0, "HMC only implemented for temperature=1."
+        assert self.momentum == 1.0, "HMC only works with momentum=1."
+        assert self.descent_epochs == 0, \
+            "HMC not implemented for descent epochs with temp=0."
+        return mcmc.HMC(num_data=self.eff_num_data)

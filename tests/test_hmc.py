@@ -74,7 +74,7 @@ def test_reversible(N=10):
 
 
 def test_distribution_preservation(n_vars=50, n_dim=1000, n_samples=100,
-                                   momentum_resample=4, seed=122):
+                                   momentum_resample=4, seed=123):
     mean, std = 1.0, 2.0
     lr = 1 / 32
     model = GaussianModel(N=n_vars, D=n_dim, mean=mean, std=std)

@@ -16,7 +16,7 @@ from bnn_priors_tpu.models import GaussianModel, NealFunnelT
 
 
 def test_distribution_preservation(n_vars=50, n_dim=1000, n_samples=200,
-                                   mh_freq=4, seed=145):
+                                   mh_freq=4, seed=147):
     mean, std = 1.0, 2.0
     temperature = 3 / 4
     lr = 1 / 32
