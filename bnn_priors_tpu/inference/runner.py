@@ -321,10 +321,13 @@ class SGLDRunner:
             self.model_saver.add_state_dict(sd, step)
             self.model_saver.flush()
 
-    def get_samples(self):
+    def get_samples(self, keep_steps=False):
         if self.model_saver is None:
-            return {k: np.stack(v) for k, v in self._samples.items()}
-        return self.model_saver.load_samples(keep_steps=False)
+            out = {k: np.stack(v) for k, v in self._samples.items()}
+            if keep_steps:
+                out["steps"] = np.asarray(self._sample_steps)
+            return out
+        return self.model_saver.load_samples(keep_steps=keep_steps)
 
     # -- evaluation --------------------------------------------------------
     def _evaluate_and_log(self, step):
