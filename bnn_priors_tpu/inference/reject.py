@@ -1,0 +1,304 @@
+"""GGMC with exact-gradient Metropolis–Hastings boundaries — the paper's
+main algorithm (`inference=VerletSGLDReject`; reference
+`bnn_priors/inference_reject.py`, arXiv:2102.01691).
+
+Differences from the plain `VerletSGLDRunner`:
+* the proposal's initial and final gradients are **exact full-dataset
+  gradients** (`_exact_model_potential_and_grad`, inference_reject.py:18-33)
+  — here one jitted scan over all minibatches accumulating per-batch
+  gradients (sum of gradients == gradient of the sum, with constant memory);
+* the M-H boundary happens at the END of each sampling epoch (not the start
+  of the next), so saved samples are already correctly rolled back;
+* minibatch order is FIXED per cycle: every epoch within a cycle visits the
+  data in the same order (inference_reject.py:68-84) — one permutation key
+  per cycle;
+* the LR schedule advances once per minibatch; the epoch's last minibatch,
+  the exact `final_step`, ΔE and the M-H decision share one LR value, and
+  the follow-up `initial_step` uses the next (inference_reject.py:110-113,
+  150-157).
+
+Each sampling-epoch boundary costs 2 extra full-dataset passes.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import mcmc
+from .runner import SGLDRunner, VerletSGLDRunner
+
+
+class VerletSGLDRunnerReject(VerletSGLDRunner):
+    def _make_kernel(self):
+        return mcmc.VerletSGLD(num_data=self.eff_num_data,
+                               momentum=self.momentum)
+
+    def _init_kwargs(self):
+        return {"save_state": self.reject_samples}
+
+    # -- per-cycle fixed data order ---------------------------------------
+    def _epoch_perm(self, cycle, epoch):
+        if not hasattr(self, "_perm_key"):
+            self._perm_key, self.key = jax.random.split(self.key)
+        return jax.random.permutation(
+            jax.random.fold_in(self._perm_key, cycle), self.N)
+
+    # -- exact full-dataset gradient --------------------------------------
+    def _exact_vg(self, chain_position, model_state):
+        """(loss, log_prior, potential, acc, grads, new_model_state) with
+        loss = Σ_batches −ll(batch)/N and potential = loss − log_prior/N.
+        One scan over all full batches (+ tail), accumulating gradients."""
+
+        def builder():
+            n_full, B, tail = self.n_full, self.batch_size, self.tail
+            idx_full = jnp.arange(n_full * B).reshape(n_full, B)
+
+            def f(position, model_state):
+                params = self.kernel.unpack(position)
+
+                def body(carry, idx):
+                    g_acc, loss_acc, acc_acc, mstate = carry
+                    xb = jnp.take(self.train_x, idx, axis=0)
+                    yb = jnp.take(self.train_y, idx, axis=0)
+
+                    def fn(p):
+                        ll, new_state, fout = self.model.log_likelihood(
+                            p, mstate, xb, yb, eff_num_data=1.0, train=True)
+                        this_loss = -ll * (xb.shape[0] / self.eff_num_data)
+                        acc = self.model.acc_fn(fout, yb, p)
+                        return this_loss, (new_state, jnp.sum(acc))
+                    (this_loss, (new_state, acc_sum)), g = jax.value_and_grad(
+                        fn, has_aux=True)(params)
+                    return (jax.tree_util.tree_map(jnp.add, g_acc, g),
+                            loss_acc + this_loss, acc_acc + acc_sum,
+                            new_state), None
+
+                g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+                carry = (g0, jnp.asarray(0.0, position.dtype),
+                         jnp.asarray(0.0, position.dtype), model_state)
+                carry, _ = jax.lax.scan(body, carry, idx_full)
+                if tail:
+                    idx_tail = jnp.arange(n_full * B, self.N)
+                    carry, _ = body(carry, idx_tail)
+                g_ll, loss, acc_sum, model_state = carry
+
+                def prior_fn(p):
+                    return self.model.log_prior(p) / -self.eff_num_data
+                log_norm_prior, g_prior = jax.value_and_grad(prior_fn)(params)
+                log_prior = -log_norm_prior * self.eff_num_data
+                grads = self.kernel.pack(
+                    jax.tree_util.tree_map(jnp.add, g_ll, g_prior))
+                grads = jnp.clip(grads, -self.grad_max, self.grad_max)
+                potential = loss + log_norm_prior
+                return (loss, log_prior, potential, acc_sum / self.N, grads,
+                        model_state)
+            return f
+        f = self._get_jit("exact_vg", builder)
+        return f(chain_position, model_state)
+
+    # -- boundary pieces ---------------------------------------------------
+    def _boundary_final(self, chain, model_state, lr_index, temperature,
+                        initial_potential):
+        "exact vg → final_step → ΔE → maybe_reject; returns host scalars too"
+        def builder():
+            def f(chain, model_state, lr_index, temperature,
+                  initial_potential):
+                loss, log_prior, pot, acc, grads, model_state = \
+                    self._exact_vg(chain.position, model_state)
+                lr = self.learning_rate * self.schedule(lr_index)
+                chain, km = self.kernel.final_step(chain, grads, lr,
+                                                   temperature)
+                de = self.kernel.delta_energy(chain, grads, lr,
+                                              initial_potential, pot)
+                if self.reject_samples:
+                    chain, rejected, _ = self.kernel.maybe_reject(
+                        chain, de, temperature)
+                else:
+                    rejected = jnp.asarray(False)
+                metrics = self._metric_dict(pot, {
+                    "loss": loss, "acc": acc, "log_prior": log_prior}, lr, km)
+                return chain, model_state, metrics, pot, de, rejected
+            return f
+        f = self._get_jit("boundary_final_exact", builder)
+        dt = self.chain.position.dtype
+        return f(chain, model_state, jnp.asarray(lr_index),
+                 jnp.asarray(temperature, dt), jnp.asarray(initial_potential, dt))
+
+    def _boundary_initial(self, chain, lr_index, temperature):
+        "(HMC momentum refresh +) initial_step with the same exact gradient"
+        def builder():
+            def f(chain, lr_index, temperature):
+                lr = self.learning_rate * self.schedule(lr_index)
+                if self._is_hmc():
+                    chain = self.kernel.sample_momentum(chain, temperature)
+                chain, _ = self.kernel.initial_step(
+                    chain, chain.grads, lr, temperature,
+                    save_state=self.reject_samples)
+                return chain
+            return f
+        f = self._get_jit("boundary_initial_exact", builder)
+        dt = self.chain.position.dtype
+        return f(chain, jnp.asarray(lr_index), jnp.asarray(temperature, dt))
+
+    # -- main loop ---------------------------------------------------------
+    def run(self, progressbar=False):
+        mstep = 0  # metrics step counter (batches + boundaries)
+
+        # initial exact-gradient step (inference_reject.py:56-66)
+        loss, log_prior, pot, acc, grads, self.model_state = self._exact_vg(
+            self.chain.position, self.model_state)
+        self.chain = self.kernel.sample_momentum(self.chain, self.temperature)
+        lr0 = self.learning_rate * float(self.schedule(0))
+        self.chain, km = self.kernel.initial_step(
+            self.chain, grads, jnp.asarray(lr0), self.temperature,
+            save_state=self.reject_samples)
+        self._initial_potential = float(pot)
+        self._total_energy = 0.0
+        self._log_row(mstep, {
+            "loss": float(loss), "log_prior": float(log_prior),
+            "potential": float(pot), "acc": float(acc), "lr": lr0,
+        }, km, corresponds_to_sample=True, delta_energy=0.0, total_energy=0.0,
+            rejected=(False if self.reject_samples else None))
+
+        lr_index = 0
+        iterator = range(self.cycles)
+        if progressbar:
+            import tqdm
+            iterator = tqdm.tqdm(iterator, desc="cycles")
+        for cycle in iterator:
+            for epoch in range(self.epochs_per_cycle):
+                temperature = (0.0 if epoch < self.descent_epochs
+                               else self.temperature)
+                perm = self._epoch_perm(cycle, epoch)
+                idx_full = perm[: self.n_full * self.batch_size].reshape(
+                    self.n_full, self.batch_size)
+                chain, model_state, ms = self._scan_steps(
+                    self.chain, self.model_state, lr_index, idx_full,
+                    temperature)
+                n_steps = self.n_full
+                if self.tail:
+                    idx_tail = perm[self.n_full * self.batch_size:]
+                    chain, model_state, m = self._single_step(
+                        chain, model_state, lr_index + self.n_full, idx_tail,
+                        temperature)
+                    ms = jax.tree_util.tree_map(
+                        lambda a, b: jnp.concatenate(
+                            [a, jnp.asarray(b)[None]]), ms, m)
+                    n_steps += 1
+                self.chain, self.model_state = chain, model_state
+                if not np.all(np.isfinite(np.asarray(ms["potential"]))):
+                    raise ValueError("Potential is NaN")
+                self._log_scan_metrics(mstep + 1, ms)
+                mstep += n_steps
+                lr_index += n_steps
+
+                if self._is_sampling_epoch(epoch):
+                    mstep += 1
+                    (self.chain, self.model_state, metrics, pot, de,
+                     rejected) = self._boundary_final(
+                        self.chain, self.model_state, lr_index - 1,
+                        temperature, self._initial_potential)
+                    de = float(de)
+                    self._total_energy += de
+                    self._initial_potential = float(pot)
+                    self._log_row(
+                        mstep,
+                        {k: float(np.asarray(metrics[k])) for k in
+                         ("loss", "log_prior", "potential", "acc", "lr")},
+                        {"est_temperature": metrics["est_temperature"],
+                         "est_config_temp": metrics["est_config_temp"]},
+                        corresponds_to_sample=True, delta_energy=de,
+                        total_energy=self._total_energy,
+                        rejected=(bool(rejected) if self.reject_samples
+                                  else None))
+                    self._evaluate_and_log(mstep)
+                    self._save_sample(mstep)
+                    self.chain = self._boundary_initial(
+                        self.chain, lr_index, temperature)
+                else:
+                    self._evaluate_and_log(mstep)
+
+                if (self.precond_update is not None
+                        and (epoch + 1) % self.precond_update == 0):
+                    self.chain = self.kernel.update_preconditioner(self.chain)
+                if self.metrics_saver is not None:
+                    self.metrics_saver.flush(every_s=30, keep_last_row=True)
+        if self.metrics_saver is not None:
+            self.metrics_saver.flush()
+
+    # -- logging helpers ---------------------------------------------------
+    def _log_row(self, index, scalars, km, corresponds_to_sample,
+                 delta_energy=None, total_energy=None, rejected=None):
+        if self.metrics_saver is None:
+            return
+        add = self.metrics_saver.add_scalar
+        names = self.kernel.packer.names
+        precond = np.asarray(self.chain.precond)
+        if km:
+            est_t = np.asarray(self.kernel.packer.pack_leaf_scalars(
+                km["est_temperature"]) if isinstance(km["est_temperature"], dict)
+                else km["est_temperature"])
+            est_c = np.asarray(self.kernel.packer.pack_leaf_scalars(
+                km["est_config_temp"]) if isinstance(km["est_config_temp"], dict)
+                else km["est_config_temp"])
+            sizes = np.asarray(self.kernel.packer.sizes, dtype=np.float64)
+            for j, name in enumerate(names):
+                add("preconditioner/" + name, float(precond[j]), index)
+                add("est_temperature/" + name, float(est_t[j]), index)
+                add("est_config_temp/" + name, float(est_c[j]), index)
+            add("est_temperature/all",
+                float((est_t * sizes).sum() / sizes.sum()), index)
+            add("est_config_temp/all",
+                float((est_c * sizes).sum() / sizes.sum()), index)
+        add("temperature", float(self.temperature), index)
+        for k, v in scalars.items():
+            add(k, float(v), index)
+        add("acceptance/is_sample", int(corresponds_to_sample), index)
+        if delta_energy is not None:
+            add("delta_energy", float(delta_energy), index)
+            add("total_energy", float(total_energy), index)
+        if rejected is not None:
+            add("acceptance/rejected", int(rejected), index)
+
+    def _log_scan_metrics(self, base_index, ms):
+        if self.metrics_saver is None:
+            return
+        est_t = np.asarray(ms["est_temperature"])
+        est_c = np.asarray(ms["est_config_temp"])
+        n = est_t.shape[0]
+        for i in range(n):
+            index = base_index + i
+            if index % self.metrics_skip != 0:
+                continue
+            self._log_row(
+                index,
+                {k: float(np.asarray(ms[k])[i]) for k in
+                 ("loss", "log_prior", "potential", "acc", "lr")},
+                {"est_temperature": est_t[i], "est_config_temp": est_c[i]},
+                corresponds_to_sample=False)
+
+    def _save_sample(self, step):
+        super()._save_sample(step)
+
+
+class HMCRunnerReject(VerletSGLDRunnerReject):
+    def _make_kernel(self):
+        assert self.temperature == 1.0, "HMC only implemented for temperature=1."
+        assert self.momentum == 1.0, "HMC only works with momentum=1."
+        assert self.descent_epochs == 0, \
+            "HMC not implemented for descent epochs with temp=0."
+        return mcmc.HMC(num_data=self.eff_num_data)
+
+
+class SGLDRunnerReject(VerletSGLDRunnerReject):
+    "SGLD with the fixed-order protocol; cannot reject (ΔE = ∞)."
+
+    def _make_kernel(self):
+        assert not self.reject_samples
+        return mcmc.SGLD(num_data=self.eff_num_data, momentum=self.momentum)
+
+    def _init_kwargs(self):
+        return {}

@@ -34,6 +34,7 @@ from .packing import Packer
 class SGLDState(NamedTuple):
     position: jnp.ndarray      # packed θ, (total,)
     momentum: jnp.ndarray      # packed m, (total,)
+    grads: jnp.ndarray         # packed last-seen gradient
     square_avg: jnp.ndarray    # packed RMSProp EMA, (total,)
     precond: jnp.ndarray       # per-leaf M^{-1/2}, (n_leaves,)
     key: jax.Array
@@ -74,6 +75,7 @@ class SGLD:
         return SGLDState(
             position=theta,
             momentum=jnp.zeros_like(theta),
+            grads=jnp.zeros_like(theta),
             square_avg=jnp.ones_like(theta),
             precond=jnp.ones((packer.n_leaves,), theta.dtype),
             key=key,
@@ -103,9 +105,11 @@ class SGLD:
 
     # -- step -------------------------------------------------------------
     def step(self, state: SGLDState, grads, lr, temperature,
-             calc_metrics: bool = True, is_final: bool = False):
+             calc_metrics: bool = True, is_final: bool = False,
+             save_state: bool = False):
         """One SGLD transition. `grads` may be the gradient pytree or the
         packed vector; already clipped by the caller."""
+        assert not save_state, "SGLD keeps no rejection state (sgld.py:72-74)"
         if not isinstance(grads, jnp.ndarray) or grads.ndim != 1:
             grads = self.pack(grads)
         a = self.momentum
@@ -125,7 +129,7 @@ class SGLD:
             metrics = self._metrics(state, grads, mom_nominal)
 
         if is_final:
-            return state._replace(key=key), metrics
+            return state._replace(grads=grads, key=key), metrics
 
         if a > 0:
             new_m = a * state.momentum - hn * M * grads + noise_std * noise
@@ -135,15 +139,19 @@ class SGLD:
         alpha = self.rmsprop_alpha
         new_sq = alpha * state.square_avg + (1 - alpha) * grads * grads
 
-        return SGLDState(new_pos, new_m, new_sq, state.precond, key), metrics
+        return SGLDState(new_pos, new_m, grads, new_sq, state.precond,
+                         key), metrics
 
-    initial_step = step
+    def initial_step(self, state, grads, lr, temperature, save_state=False,
+                     calc_metrics=True):
+        return self.step(state, grads, lr, temperature, calc_metrics,
+                         save_state=save_state)
 
     def final_step(self, state, grads, lr, temperature, calc_metrics=True):
         return self.step(state, grads, lr, temperature, calc_metrics,
                          is_final=True)
 
-    def delta_energy(self, state, grads, prev_potential, potential):
+    def delta_energy(self, state, grads, lr, prev_potential, potential):
         "SGLD never passes M-H (reference sgld.py:54-55)."
         return jnp.asarray(jnp.inf)
 

@@ -10,3 +10,8 @@ from .conv_nets import (ClassificationConvNet, Conv2dPrior,
                         ThinPreActResNet18)
 from .google_resnet import BasicBlock, CorrelatedResNet, ResNet
 from .prior_only import GaussianModel, NealFunnel, NealFunnelT, PriorOnlyModel
+from .raob import RaoBDenseNet, RaoBLinearRegression, RaoBRegressionModel
+from .data_driven import (DataDrivenDoubleGammaClassificationConvNet,
+                          DataDrivenGaussianClassificationConvNet,
+                          DataDrivenMVTGoogleResNet, DataDrivenPreActResNet18,
+                          DecreasingMVTGoogleResNet, replace_prior)

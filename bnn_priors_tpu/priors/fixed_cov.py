@@ -48,6 +48,13 @@ class ConvCovariance(Prior):
         )
         self.event_shape = tuple(shape[-2:])
 
+    def assign_cov(self, cov):
+        "replace the fitted covariance in place (before `init`)"
+        scale, inv_scale, log_det = _break_down_cov(np.asarray(cov))
+        self.hypers["scale"] = scale
+        self.hypers["inv_scale"] = inv_scale
+        self.hypers["log_det"] = np.asarray(log_det)
+
     # base distribution over the whitened event, defined by subclasses
     def _base_dist(self, params, prefix):
         raise NotImplementedError

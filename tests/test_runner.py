@@ -141,3 +141,51 @@ def test_hdf5_model_saver(tmp_path):
     assert samples["w"].shape == (2, 2, 3)
     np.testing.assert_allclose(samples["steps"], [7, 9])
     np.testing.assert_allclose(samples["w"][1], 2.0)
+
+
+def test_verlet_reject_runner_exact_boundary(tmp_path):
+    "paper algorithm: exact-gradient boundaries + M-H + fixed cycle order"
+    from bnn_priors_tpu.inference import VerletSGLDRunnerReject
+    from bnn_priors_tpu.io import HDF5Metrics
+    x, y = _toy_data(n=50)
+    model = models.LogisticRegression(4, 2)
+    with HDF5Metrics(tmp_path / "metrics.h5") as metrics:
+        runner = VerletSGLDRunnerReject(
+            model, (x, y), (x, y), epochs_per_cycle=2, warmup_epochs=1,
+            sample_epochs=1, learning_rate=1e-4, temperature=1.0,
+            momentum=0.9, cycles=2, batch_size=16, reject_samples=True,
+            metrics_saver=metrics, key=jax.random.key(2))
+        runner.run()
+        samples = runner.get_samples(keep_steps=True)
+    assert samples["net.weight_prior.p"].shape[0] == 2
+    import h5py
+    with h5py.File(tmp_path / "metrics.h5", "r") as f:
+        rejected = np.asarray(f["acceptance/rejected"])
+        is_sample = np.asarray(f["acceptance/is_sample"])
+        steps = np.asarray(f["steps"])
+        # initial step + one boundary per sampling epoch are flagged
+        n_flagged = int(np.nansum(np.where(is_sample == 1, 1, 0)))
+        assert n_flagged == 3  # initial + 2 boundaries
+        assert np.isfinite(np.asarray(f["delta_energy"])).any()
+    # sample steps match flagged metric steps (for reject_samples_)
+    flagged_steps = steps[is_sample == 1]
+    assert set(samples["steps"]).issubset(set(flagged_steps.tolist()))
+
+
+def test_exact_gradient_matches_sum_of_batches():
+    "the exact-gradient scan equals the full-batch gradient"
+    from bnn_priors_tpu.inference import VerletSGLDRunnerReject
+    x, y = _toy_data(n=50)
+    model = models.LogisticRegression(4, 2)
+    runner = VerletSGLDRunnerReject(
+        model, (x, y), None, epochs_per_cycle=2, warmup_epochs=1,
+        sample_epochs=1, learning_rate=1e-4, batch_size=16,
+        key=jax.random.key(3))
+    loss, log_prior, pot, acc, grads, _ = runner._exact_vg(
+        runner.chain.position, runner.model_state)
+    params = runner.kernel.params_of(runner.chain)
+    fn = model.potential_avg_fn({}, x, y, eff_num_data=50.0, train=True)
+    (pot_ref, _), g_ref = jax.value_and_grad(fn, has_aux=True)(params)
+    np.testing.assert_allclose(float(pot), float(pot_ref), rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(grads), np.asarray(runner.kernel.pack(g_ref)), rtol=1e-7)
