@@ -1,22 +1,13 @@
-"""Test configuration: run all tests on a virtual 8-device CPU mesh.
+"""Test configuration: force the CPU backend with 8 virtual devices.
 
-Mirrors the reference's CPU-only test strategy (reference `testing/` runs on
-CPU in float64); multi-chip sharding is exercised via
-``--xla_force_host_platform_device_count=8`` as recommended for JAX.
+Mirrors the reference's CPU-only float64 test strategy; multi-chip
+sharding is exercised on a virtual 8-device CPU mesh. NOTE: this
+environment pre-imports jax via sitecustomize (TPU tunnel), so
+`jax.config.update` — not environment variables — is the only effective
+way to select the backend.
 """
-import os
+import jax
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
-
-# The suite is compile-bound (many small jitted samplers, one per shape);
-# a persistent compilation cache makes repeat runs fast.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
