@@ -1,0 +1,207 @@
+"""Training script for BNN experiments with different datasets and priors.
+
+TPU-native equivalent of reference `experiments/train_bnn.py` with the same
+sacred-style CLI and config names, e.g.:
+
+    python experiments/train_bnn.py with data=mnist model=classificationdensenet \
+        weight_prior=gaussian inference=SGLD warmup=45 burnin=0 skip=1 \
+        n_samples=300 lr=0.01 momentum=0.994 weight_scale=1.41 cycles=60 \
+        batch_size=128 temperature=1.0
+
+Artifacts per run dir (reference contract): config.json, run.json,
+metrics.h5, samples.pt (HDF5). The result dict is the final evaluation.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bnn_priors_tpu.exp.config import RunDirectory, parse_cli
+
+DEFAULTS = dict(
+    data="mnist",                  # dataset name (see exp_utils.get_data)
+    inference="VerletSGLDReject",  # GGMC from arXiv:2102.01691 by default
+    model="classificationconvnet",
+    width=50,
+    depth=3,
+    weight_prior="gaussian",
+    bias_prior="gaussian",
+    weight_loc=0.0,
+    weight_scale=2.0 ** 0.5,
+    bias_loc=0.0,
+    bias_scale=1.0,
+    weight_prior_params={},
+    bias_prior_params={},
+    n_samples=300,                 # total posterior samples
+    cycles=60,                     # cosine LR cycles
+    burnin=0,                      # descent epochs per cycle (T=0)
+    warmup=45,                     # warmup epochs per cycle
+    skip=1,                        # sample thinning
+    metrics_skip=10,
+    skip_first=50,                 # samples discarded at evaluation
+    temperature=1.0,
+    sampling_decay="cosine",
+    momentum=0.994,
+    precond_update=1,
+    lr=5e-4,
+    init_method="he",              # he | he_uniform | he_zerobias | prior
+    load_samples=None,             # warm start from a previous sample bank
+    batch_size=128,
+    reject_samples=False,
+    batchnorm=True,
+    device="tpu",                  # tpu | cpu (jax backend)
+    save_samples=True,
+    progressbar=True,
+    seed=0,
+    n_chains=1,                    # vmapped parallel chains (TPU-native)
+    log_dir=str(Path(__file__).resolve().parent.parent / "logs"),
+)
+
+
+def main(cfg):
+    import jax
+    if cfg["device"] == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bnn_priors_tpu import exp_utils, inference
+    from bnn_priors_tpu.data import Synthetic
+    from bnn_priors_tpu.evaluate import evaluate_model
+    from bnn_priors_tpu.io import HDF5Metrics, HDF5ModelSaver, load_samples
+
+    assert cfg["inference"] in ["SGLD", "VerletSGLD", "OurHMC", "HMCReject",
+                                "VerletSGLDReject", "SGLDReject"]
+    run = RunDirectory(cfg["log_dir"], cfg)
+    try:
+        return _main_inner(cfg, run)
+    except Exception as e:  # noqa: BLE001 — record FAILED status in run.json
+        run.fail(e)
+        raise
+
+
+def _main_inner(cfg, run):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bnn_priors_tpu import exp_utils, inference
+    from bnn_priors_tpu.data import Synthetic
+    from bnn_priors_tpu.evaluate import evaluate_model
+    from bnn_priors_tpu.io import HDF5Metrics, HDF5ModelSaver, load_samples
+
+    key = jax.random.key(cfg["seed"])
+
+    # -- data --------------------------------------------------------------
+    data_name = cfg["data"]
+    if data_name.startswith("synthetic."):
+        _, base_name, prior_name = data_name.split(".")
+        base = exp_utils.get_data(base_name)
+        model_true = exp_utils.get_model(
+            base.norm.train_X, base.norm.train_y, cfg["model"], cfg["width"],
+            cfg["depth"], prior_name, cfg["weight_loc"], cfg["weight_scale"],
+            cfg["bias_prior"], cfg["bias_loc"], cfg["bias_scale"],
+            cfg["batchnorm"], {}, cfg["bias_prior_params"])
+        k_p, k_s, key = jax.random.split(key, 3)
+        params, mstate = model_true.init(k_p, dtype=jnp.float32)
+        params = model_true.sample_all_priors(k_s, params)
+        data = Synthetic(base, model_true, params, mstate, key=key)
+    else:
+        data = exp_utils.get_data(data_name)
+
+    x_train = jnp.asarray(data.norm.train_X, dtype=jnp.float32)
+    y_train = data.norm.train_y
+    x_test = jnp.asarray(data.norm.test_X, dtype=jnp.float32)
+    y_test = data.norm.test_y
+
+    # -- model -------------------------------------------------------------
+    model = exp_utils.get_model(
+        x_train, y_train, cfg["model"], cfg["width"], cfg["depth"],
+        cfg["weight_prior"], cfg["weight_loc"], cfg["weight_scale"],
+        cfg["bias_prior"], cfg["bias_loc"], cfg["bias_scale"],
+        cfg["batchnorm"], cfg["weight_prior_params"], cfg["bias_prior_params"])
+    k_init, k_he, k_run, key = jax.random.split(key, 4)
+    params, model_state = model.init(k_init, dtype=jnp.float32)
+
+    if cfg["load_samples"] is None:
+        if cfg["init_method"] == "he":
+            params = exp_utils.he_initialize(params, k_he)
+        elif cfg["init_method"] == "he_uniform":
+            params = exp_utils.he_uniform_initialize(params, k_he)
+        elif cfg["init_method"] == "he_zerobias":
+            params = exp_utils.he_zerobias_initialize(params, k_he)
+        elif cfg["init_method"] == "prior":
+            pass
+        else:
+            raise ValueError(f"unknown init_method={cfg['init_method']}")
+    else:
+        bank = load_samples(cfg["load_samples"], keep_steps=False)
+        loaded = 0
+        new_params, new_state = dict(params), dict(model_state)
+        for k, v in bank.items():
+            last = jnp.asarray(v[-1])
+            if k in new_params and new_params[k].shape == last.shape:
+                new_params[k] = last.astype(new_params[k].dtype)
+                loaded += 1
+            elif k in new_state and new_state[k].shape == last.shape:
+                new_state[k] = last.astype(new_state[k].dtype)
+                loaded += 1
+            else:
+                print(f"warning: ignoring loaded key {k}", file=sys.stderr)
+        params, model_state = new_params, new_state
+        print(f"warm start: loaded {loaded} arrays", file=sys.stderr)
+
+    # -- runner ------------------------------------------------------------
+    runner_class = {
+        "SGLD": inference.SGLDRunner,
+        "VerletSGLD": inference.VerletSGLDRunner,
+        "OurHMC": inference.HMCRunner,
+        "VerletSGLDReject": inference.VerletSGLDRunnerReject,
+        "HMCReject": inference.HMCRunnerReject,
+        "SGLDReject": inference.SGLDRunnerReject,
+    }[cfg["inference"]]
+
+    assert (cfg["n_samples"] * cfg["skip"]) % cfg["cycles"] == 0
+    sample_epochs = cfg["n_samples"] * cfg["skip"] // cfg["cycles"]
+    epochs_per_cycle = cfg["warmup"] + cfg["burnin"] + sample_epochs
+
+    augment_fn = getattr(type(data), "augment_fn", None)
+    if augment_fn is not None:
+        augment_fn = getattr(data, "augment_fn")
+
+    with HDF5Metrics(run.artifact("metrics.h5")) as metrics_saver:
+        saver_path = run.artifact("samples.pt") if cfg["save_samples"] else None
+        model_saver = HDF5ModelSaver(saver_path) if saver_path else None
+        try:
+            runner = runner_class(
+                model, (x_train, y_train), (x_test, y_test),
+                epochs_per_cycle=epochs_per_cycle,
+                warmup_epochs=cfg["warmup"], sample_epochs=sample_epochs,
+                learning_rate=cfg["lr"], skip=cfg["skip"],
+                metrics_skip=cfg["metrics_skip"],
+                sampling_decay=cfg["sampling_decay"], cycles=cfg["cycles"],
+                temperature=cfg["temperature"], momentum=cfg["momentum"],
+                precond_update=cfg["precond_update"],
+                metrics_saver=metrics_saver, model_saver=model_saver,
+                reject_samples=cfg["reject_samples"],
+                batch_size=cfg["batch_size"], augment_fn=augment_fn,
+                init_params=params, init_model_state=model_state, key=k_run)
+            runner.run(progressbar=cfg["progressbar"])
+            samples = runner.get_samples()
+        finally:
+            if model_saver is not None:
+                model_saver.close()
+
+    samples = {k: v[cfg["skip_first"]:] for k, v in samples.items()}
+    result = evaluate_model(model, (x_test, jnp.asarray(y_test)), samples,
+                            likelihood_eval=True, accuracy_eval=True,
+                            calibration_eval=False)
+    run.finish(result)
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main(parse_cli(DEFAULTS))
