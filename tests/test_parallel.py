@@ -1,0 +1,94 @@
+"""Multi-chain parallelism tests on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bnn_priors_tpu import mcmc, models
+from bnn_priors_tpu.parallel import (ChainMesh, MultiChainRunner, init_chains,
+                                     init_chains_diverse, make_mesh)
+
+
+def _toy():
+    k1, k2 = jax.random.split(jax.random.key(0))
+    x = jax.random.normal(k1, (64, 4))
+    y = (jax.random.normal(k2, (64,)) > 0).astype(jnp.int32)
+    return x, y
+
+
+def test_chain_mesh_step():
+    "sharded chain step over a (4 chains × 2 data) mesh with psum grads"
+    mesh = make_mesh(4, 2)
+    x, y = _toy()
+    model = models.LogisticRegression(4, 2)
+    params, _ = model.init(jax.random.key(1))
+    kernel = mcmc.VerletSGLD(num_data=64, momentum=0.9)
+    states = init_chains(kernel, params, jax.random.key(2), 8)
+    cm = ChainMesh(mesh, kernel, model, eff_num_data=64)
+    states = cm.place_chains(states)
+    xb = cm.place_batch(jnp.broadcast_to(x[:16], (8, 16, 4)))
+    yb = cm.place_batch(jnp.broadcast_to(y[:16], (8, 16)))
+    mstates = cm.place_chains({})
+    step = cm.make_step(lr_fn=lambda i: 1e-3)
+    new_states, _, metrics = step(states, mstates, jnp.asarray(0), xb, yb,
+                                  jnp.asarray(1.0))
+    assert np.isfinite(float(metrics["mean_potential"]))
+    # all chains moved, and differently (independent noise)
+    pos = np.asarray(new_states.position)
+    assert not np.allclose(pos[0], np.asarray(states.position)[0])
+    assert not np.allclose(pos[0], pos[1])
+
+
+def test_sharded_grad_matches_single_device():
+    "psum-sharded minibatch gradient == plain full-batch gradient"
+    mesh = make_mesh(1, 2)
+    x, y = _toy()
+    model = models.LogisticRegression(4, 2)
+    params, _ = model.init(jax.random.key(1))
+    kernel = mcmc.VerletSGLD(num_data=64, momentum=0.9)
+    states = init_chains(kernel, params, jax.random.key(2), 1)
+    cm = ChainMesh(mesh, kernel, model, eff_num_data=64)
+    states = cm.place_chains(states)
+    xb = cm.place_batch(x[None, :32])
+    yb = cm.place_batch(y[None, :32])
+    step = cm.make_step(lr_fn=lambda i: 0.0)  # lr=0: no position change
+    _, _, metrics = step(states, cm.place_chains({}), jnp.asarray(0), xb, yb,
+                         jnp.asarray(1.0))
+    fn = model.potential_avg_fn({}, x[:32], y[:32], eff_num_data=64.0,
+                                train=True)
+    pot_ref, _ = fn(params)
+    np.testing.assert_allclose(float(metrics["potential"][0]),
+                               float(pot_ref), rtol=1e-8)
+
+
+def test_multichain_runner_tempering():
+    "K chains with different temperatures advance independently in one scan"
+    x, y = _toy()
+    model = models.LogisticRegression(4, 2)
+    temps = [0.01, 0.01, 1.0, 1.0]
+    runner = MultiChainRunner(
+        model, (x, y), n_chains=4, temperatures=temps, kernel="VerletSGLD",
+        learning_rate=1e-3, momentum=0.9, batch_size=16, cycles=2,
+        epochs_per_cycle=3, warmup_epochs=2, sample_epochs=1,
+        key=jax.random.key(5), dtype=jnp.float64)
+    runner.run()
+    bank = runner.get_samples()
+    # (n_samples=2, n_chains=4, ...) per parameter
+    assert bank["net.weight_prior.p"].shape == (2, 4, 2, 4)
+    c0 = runner.chain_samples(0)
+    assert c0["net.weight_prior.p"].shape == (2, 2, 4)
+    # chains differ (independent inits/noise)
+    assert not np.allclose(bank["net.weight_prior.p"][0, 0],
+                           bank["net.weight_prior.p"][0, 1])
+
+
+def test_multichain_runner_on_mesh():
+    mesh = make_mesh(8, 1)
+    x, y = _toy()
+    model = models.LogisticRegression(4, 2)
+    runner = MultiChainRunner(
+        model, (x, y), n_chains=8, temperatures=1.0, kernel="SGLD",
+        learning_rate=1e-3, momentum=0.9, batch_size=16, cycles=1,
+        epochs_per_cycle=2, warmup_epochs=1, sample_epochs=1, mesh=mesh,
+        key=jax.random.key(6), dtype=jnp.float64)
+    runner.run()
+    assert runner.get_samples()["net.weight_prior.p"].shape[1] == 8
