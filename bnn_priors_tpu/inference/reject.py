@@ -236,7 +236,7 @@ class VerletSGLDRunnerReject(VerletSGLDRunner):
             return
         add = self.metrics_saver.add_scalar
         names = self.kernel.packer.names
-        precond = np.asarray(self.chain.precond)
+        precond = np.asarray(self.kernel.leaf_precond(self.chain))
         if km:
             est_t = np.asarray(self.kernel.packer.pack_leaf_scalars(
                 km["est_temperature"]) if isinstance(km["est_temperature"], dict)

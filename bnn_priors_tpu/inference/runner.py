@@ -378,11 +378,21 @@ class SGLDRunner:
         names = self.kernel.packer.names
         est_t = np.asarray(metrics["est_temperature"])
         est_c = np.asarray(metrics["est_config_temp"])
-        precond = np.asarray(self.chain.precond)
+        precond = np.asarray(self.kernel.leaf_precond(self.chain))
         sizes = np.asarray(self.kernel.packer.sizes, dtype=np.float64)
         n_steps = est_t.shape[0]
         scalars = {k: np.asarray(metrics[k])
                    for k in ("loss", "acc", "log_prior", "potential", "lr")}
+        # boundary metrics belong to step0-1 — log them BEFORE the per-step
+        # loop advances the saver's monotonic step cursor
+        if boundary_metrics:
+            li = step0 - 1
+            if boundary_metrics.get("delta_energy") is not None:
+                add("delta_energy", float(boundary_metrics["delta_energy"]), li)
+                add("total_energy", float(boundary_metrics["total_energy"]), li)
+            if boundary_metrics.get("rejected") is not None:
+                add("acceptance/rejected",
+                    int(boundary_metrics["rejected"]), li)
         for i in range(n_steps):
             step = step0 + i
             # metrics of step t are logged under index t-1, like the
@@ -404,14 +414,6 @@ class SGLDRunner:
                 add(k, float(v[i]), li)
             add("acceptance/is_sample",
                 int(corresponds_to_sample and i == 0), li)
-        if boundary_metrics:
-            li = step0 - 1
-            if boundary_metrics.get("delta_energy") is not None:
-                add("delta_energy", float(boundary_metrics["delta_energy"]), li)
-                add("total_energy", float(boundary_metrics["total_energy"]), li)
-            if boundary_metrics.get("rejected") is not None:
-                add("acceptance/rejected",
-                    int(boundary_metrics["rejected"]), li)
 
 
 class VerletSGLDRunner(SGLDRunner):

@@ -29,7 +29,7 @@ class HMC(VerletSGLD):
         if not isinstance(grads, jnp.ndarray) or grads.ndim != 1:
             grads = self.pack(grads)
         bh, bhn, _, grad_v, _ = self._constants(lr, 1.0, kind)
-        M = self.packer.expand(state.precond)
+        M = state.precond
 
         saved = state.saved
         if save_state:

@@ -41,7 +41,7 @@ class VerletSGLDState(NamedTuple):
     momentum: jnp.ndarray
     grads: jnp.ndarray           # packed gradient at `position` (ΔE/rollback)
     square_avg: jnp.ndarray
-    precond: jnp.ndarray         # per-leaf (n_leaves,)
+    precond: jnp.ndarray         # M^{-1/2}, pre-expanded to (total,)
     delta_energy_acc: jnp.ndarray  # scalar
     prev_nmd: jnp.ndarray          # scalar
     saved: Any                   # None or (position, momentum, grads)
@@ -59,7 +59,7 @@ class VerletSGLD(SGLD):
         return VerletSGLDState(
             position=theta, momentum=zeros, grads=zeros,
             square_avg=jnp.ones_like(theta),
-            precond=jnp.ones((packer.n_leaves,), theta.dtype),
+            precond=jnp.ones_like(theta),
             delta_energy_acc=zero, prev_nmd=zero,
             saved=((theta, zeros, zeros) if save_state else None),
             key=key,
@@ -85,7 +85,7 @@ class VerletSGLD(SGLD):
 
     def _point_energy(self, state, grads, lr):
         "Σ M⁻¹·N²·b²h²/8·g² (verlet_sgld.py:44-47)"
-        M = self.packer.expand(state.precond)
+        M = state.precond
         curv_c = self.num_data * lr / 8.0  # N²·(lr/N)/8
         return curv_c * jnp.sum((M * grads) ** 2)
 
@@ -97,26 +97,47 @@ class VerletSGLD(SGLD):
             grads = self.pack(grads)
         bh, bhn, mom_decay, grad_v, noise_std = self._constants(
             lr, temperature, kind)
-        M = self.packer.expand(state.precond)
+        M = state.precond
         key, sub = jax.random.split(state.key)
-        noise = jax.random.normal(sub, state.position.shape,
-                                  state.position.dtype)
 
         saved = state.saved
         if save_state:
             assert kind == "initial"
             saved = (state.position, state.momentum, grads)
 
-        # new momentum: σ·ξ + grad_lr·g + mom_decay·m_old
         grad_lr = -0.5 * grad_v * bhn
-        new_m = noise_std * noise + grad_lr * (M * grads) + mom_decay * state.momentum
+        c_gm = -0.5 * bhn
+        is_final = kind == "final"
+        pos_c = 0.0 if is_final else bh
+        alpha = 1.0 if is_final else self.rmsprop_alpha
+
+        if self._fused_enabled(state.position.dtype):
+            # single-pass Pallas kernel: update + energy partial sums
+            from ..ops import fused_langevin_update
+            new_pos, new_m, new_sq, partials = fused_langevin_update(
+                state.position, state.momentum, state.square_avg, grads, M,
+                self._seed_pair(sub),
+                (mom_decay, grad_lr, noise_std, pos_c, alpha),
+                total=self.packer.total, interpret=self.pallas_interpret)
+            g_mold = c_gm * partials[0]
+            g_mnew = c_gm * partials[1]
+            pe_initial = (self.num_data * lr / 8.0) * partials[2]
+        else:
+            noise = self.packer.mask_pad(jax.random.normal(
+                sub, state.position.shape, state.position.dtype))
+            # new momentum: σ·ξ + grad_lr·g + mom_decay·m_old
+            new_m = (noise_std * noise + grad_lr * (M * grads)
+                     + mom_decay * state.momentum)
+            new_pos = state.position + pos_c * (M * new_m)
+            new_sq = (alpha * state.square_avg
+                      + (1 - alpha) * grads * grads)
+            g_mold = c_gm * jnp.sum(M * grads * state.momentum)
+            g_mnew = c_gm * jnp.sum(M * grads * new_m)
+            pe_initial = self._point_energy(state, grads, lr)
 
         # incremental energy accounting
-        c_gm = -0.5 * bhn
-        g_mold = c_gm * jnp.sum(M * grads * state.momentum)
-        g_mnew = c_gm * jnp.sum(M * grads * new_m)
         if kind == "initial":
-            de_acc = -self._point_energy(state, grads, lr)
+            de_acc = -pe_initial
         else:
             de_acc = state.delta_energy_acc + state.prev_nmd + g_mold
         prev_nmd = g_mnew
@@ -125,14 +146,6 @@ class VerletSGLD(SGLD):
         if calc_metrics:
             mom_for_temp = new_m if kind == "final" else state.momentum
             metrics = self._metrics(state, grads, mom_for_temp)
-
-        if kind == "final":
-            new_pos = state.position
-            new_sq = state.square_avg
-        else:
-            new_pos = state.position + bh * (M * new_m)
-            alpha = self.rmsprop_alpha
-            new_sq = alpha * state.square_avg + (1 - alpha) * grads * grads
 
         new_state = VerletSGLDState(
             position=new_pos, momentum=new_m, grads=grads, square_avg=new_sq,

@@ -194,7 +194,14 @@ def _main_inner(cfg, run):
             if model_saver is not None:
                 model_saver.close()
 
-    samples = {k: v[cfg["skip_first"]:] for k, v in samples.items()}
+    n_saved = min(v.shape[0] for v in samples.values())
+    skip_first = cfg["skip_first"]
+    if skip_first >= n_saved:
+        # keep at least the final sample (tiny runs save < skip_first)
+        print(f"WARNING: skip_first={skip_first} >= {n_saved} saved samples;"
+              f" clamping to {n_saved - 1}")
+        skip_first = n_saved - 1
+    samples = {k: v[skip_first:] for k, v in samples.items()}
     result = evaluate_model(model, (x_test, jnp.asarray(y_test)), samples,
                             likelihood_eval=True, accuracy_eval=True,
                             calibration_eval=False)

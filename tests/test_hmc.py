@@ -34,7 +34,8 @@ def test_reversible(N=10):
     chain = kernel.init(params, jax.random.key(2))
     precs = {k: jax.random.uniform(jax.random.key(3 + i), (), dtype=jnp.float64)
              + 0.2 for i, k in enumerate(params)}
-    chain = chain._replace(precond=kernel.packer.pack_leaf_scalars(precs))
+    chain = chain._replace(precond=kernel.packer.expand(
+        kernel.packer.pack_leaf_scalars(precs)))
     chain = kernel.sample_momentum(chain, temperature=1.0)
 
     snap = lambda c: (_tree_np(kernel.params_of(c)),
@@ -85,8 +86,8 @@ def test_distribution_preservation(n_vars=50, n_dim=1000, n_samples=100,
     kernel = HMC(num_data=1)
     state = kernel.init(params, k_chain, save_state=True)
     precs = jax.random.uniform(k_prec, (n_vars,), dtype=jnp.float64)
-    state = state._replace(precond=kernel.packer.pack_leaf_scalars(
-        {k: (precs[i] + 0.2) / math.sqrt(std) for i, k in enumerate(params)}))
+    state = state._replace(precond=kernel.packer.expand(kernel.packer.pack_leaf_scalars(
+        {k: (precs[i] + 0.2) / math.sqrt(std) for i, k in enumerate(params)})))
 
     pot_fn = model.potential_avg_fn(eff_num_data=1.0)
     _vg = jax.value_and_grad(pot_fn, has_aux=True)

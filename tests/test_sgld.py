@@ -28,8 +28,8 @@ def test_distribution_preservation(n_vars=50, n_dim=1000, n_samples=200):
     state = kernel.init(params, k_chain)
     # random per-leaf preconditioner to exercise the M^{-1/2} paths
     precs = jax.random.uniform(k_prec, (n_vars,), dtype=jnp.float64)
-    state = state._replace(precond=kernel.packer.pack_leaf_scalars(
-        {k: (precs[i] + 0.2) / math.sqrt(std) for i, k in enumerate(params)}))
+    state = state._replace(precond=kernel.packer.expand(kernel.packer.pack_leaf_scalars(
+        {k: (precs[i] + 0.2) / math.sqrt(std) for i, k in enumerate(params)})))
     state = kernel.sample_momentum(state, temperature)
 
     pot_fn = model.potential_avg_fn(eff_num_data=1.0)
@@ -111,7 +111,7 @@ def test_preconditioner_update():
     state = kernel.update_preconditioner(state)
     eps = kernel.rmsprop_eps
     mins = 1.0 + eps
-    precond = kernel.packer.unpack_leaf_scalars(state.precond)
+    precond = kernel.packer.unpack_leaf_scalars(kernel.leaf_precond(state))
     for i, k in enumerate(params):
         expected = ((i + 1 + eps) / mins) ** (-1 / 4)
         np.testing.assert_allclose(float(precond[k]), expected, rtol=1e-6)

@@ -29,8 +29,8 @@ def test_distribution_preservation(n_vars=50, n_dim=1000, n_samples=200,
     kernel = VerletSGLD(num_data=1, momentum=0.9)
     state = kernel.init(params, k_chain, save_state=True)
     precs = jax.random.uniform(k_prec, (n_vars,), dtype=jnp.float64)
-    state = state._replace(precond=kernel.packer.pack_leaf_scalars(
-        {k: (precs[i] + 0.2) / math.sqrt(4) for i, k in enumerate(params)}))
+    state = state._replace(precond=kernel.packer.expand(kernel.packer.pack_leaf_scalars(
+        {k: (precs[i] + 0.2) / math.sqrt(4) for i, k in enumerate(params)})))
     state = kernel.sample_momentum(state, temperature)
 
     pot_fn = model.potential_avg_fn(eff_num_data=1.0)
@@ -107,7 +107,8 @@ def test_accept_prob(n_samples=10, seed=145):
     precs = {k: (jax.random.uniform(jax.random.fold_in(k_prec, i), (),
                                     dtype=jnp.float64) + 0.2)
              / math.sqrt(4) for i, k in enumerate(params)}
-    state = state._replace(precond=kernel.packer.pack_leaf_scalars(precs))
+    state = state._replace(precond=kernel.packer.expand(
+        kernel.packer.pack_leaf_scalars(precs)))
     state = kernel.sample_momentum(state, temperature)
 
     pot_fn = model.potential_avg_fn(eff_num_data=1.0)
