@@ -51,7 +51,9 @@ class SGLDRunner:
                  precond_update=None, metrics_saver=None, model_saver=None,
                  reject_samples=False, batch_size=128, eval_batch_size=None,
                  augment_fn: Optional[Callable] = None,
-                 init_params=None, init_model_state=None, key=None):
+                 init_params=None, init_model_state=None, key=None,
+                 checkpoint_path=None, checkpoint_every=None,
+                 profile_dir=None, profile_epoch=1):
         self.model = model
         self.train_x, self.train_y = train_data
         if test_data is not None:
@@ -85,6 +87,13 @@ class SGLDRunner:
         self.batch_size = int(batch_size)
         self.eval_batch_size = int(eval_batch_size or batch_size)
         self.augment_fn = augment_fn
+        # full chain-state checkpointing (strictly better than the
+        # reference's sample-warm-start resume, see io/checkpoint.py)
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = checkpoint_every
+        # jax.profiler trace of one epoch (reference has no tracing, §5.1)
+        self.profile_dir = profile_dir
+        self.profile_epoch = profile_epoch
 
         self.n_full = self.N // self.batch_size
         self.tail = self.N - self.n_full * self.batch_size
@@ -246,25 +255,60 @@ class SGLDRunner:
         return chain, model_state, m, {"rejected": None, "delta_energy": None,
                                        "total_energy": None}
 
+    # -- checkpoint / resume ------------------------------------------------
+    def save_checkpoint(self, path, next_epoch_index, step):
+        from ..io.checkpoint import save_chain_checkpoint
+        save_chain_checkpoint(
+            path, self.chain, self.model_state, self.key,
+            {"next_epoch_index": int(next_epoch_index), "step": int(step),
+             "initial_potential": float(self._initial_potential),
+             "total_energy": float(self._total_energy)})
+
+    def restore_checkpoint(self, path):
+        "returns (next_epoch_index, step); restores all runner state"
+        from ..io.checkpoint import load_chain_checkpoint
+        chain, mstate, rkey, meta = load_chain_checkpoint(
+            path, self.chain, self.model_state, self.key)
+        self.chain, self.model_state, self.key = chain, mstate, rkey
+        self._initial_potential = float(meta["initial_potential"])
+        self._total_energy = float(meta["total_energy"])
+        return int(meta["next_epoch_index"]), int(meta["step"])
+
     # -- public API --------------------------------------------------------
-    def run(self, progressbar=False):
-        # initial momentum refresh (reference inference.py:120)
-        self.chain = self.kernel.sample_momentum(self.chain, self.temperature)
+    def run(self, progressbar=False, resume_from=None):
         step = 0
-        first = True
-        iterator = range(self.cycles)
+        start_e = 0
+        if resume_from is not None:
+            start_e, step = self.restore_checkpoint(resume_from)
+        else:
+            # initial momentum refresh (reference inference.py:120)
+            self.chain = self.kernel.sample_momentum(self.chain,
+                                                     self.temperature)
+        total_epochs = self.cycles * self.epochs_per_cycle
+        iterator = range(start_e, total_epochs)
         if progressbar:
             import tqdm
-            iterator = tqdm.tqdm(iterator, desc="cycles")
-        for cycle in iterator:
-            for epoch in range(self.epochs_per_cycle):
-                boundary = None
-                if first:
-                    boundary = "first"
-                elif self._is_sampling_epoch(epoch - 1):
-                    boundary = "sample"
+            iterator = tqdm.tqdm(iterator, desc="epochs")
+        for e in iterator:
+            cycle, epoch = divmod(e, self.epochs_per_cycle)
+            boundary = None
+            if e == 0:
+                boundary = "first"
+            elif self._is_sampling_epoch(epoch - 1):
+                boundary = "sample"
+            trace_ctx = None
+            if self.profile_dir is not None and e == self.profile_epoch:
+                trace_ctx = jax.profiler.trace(self.profile_dir)
+                trace_ctx.__enter__()
+            try:
                 step = self._finish_epoch(cycle, epoch, step, boundary)
-                first = False
+            finally:
+                if trace_ctx is not None:
+                    trace_ctx.__exit__(None, None, None)
+            if (self.checkpoint_path is not None
+                    and self.checkpoint_every is not None
+                    and (e + 1) % self.checkpoint_every == 0):
+                self.save_checkpoint(self.checkpoint_path, e + 1, step)
         # final boundary step to log metrics for the last sample
         # (reference inference.py:182-187)
         perm = self._epoch_perm(self.cycles, 0)
@@ -285,12 +329,22 @@ class SGLDRunner:
 
     def _finish_epoch(self, cycle, epoch, step, boundary):
         step0 = step
+        t0 = time.perf_counter()
         step, metrics, boundary_metrics = self._run_epoch(
             cycle, epoch, step, boundary)
+        jax.block_until_ready(self.chain.position)
+        epoch_s = time.perf_counter() - t0
         if not np.all(np.isfinite(np.asarray(metrics["potential"]))):
             raise ValueError("Potential is NaN")
         self._log_metrics(step0, metrics, boundary_metrics,
                           corresponds_to_sample=(boundary is not None))
+        if self.metrics_saver is not None:
+            # after _log_metrics: the saver's step cursor is monotone
+            self.metrics_saver.add_scalar("timings/epoch_s", epoch_s,
+                                          step - 1)
+            self.metrics_saver.add_scalar(
+                "timings/steps_per_s", (step - step0) / max(epoch_s, 1e-9),
+                step - 1)
         if self.precond_update is not None and self._precond_due(epoch):
             self.chain = self.kernel.update_preconditioner(self.chain)
         if self._is_sampling_epoch(epoch):

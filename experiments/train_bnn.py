@@ -53,6 +53,9 @@ DEFAULTS = dict(
     batchnorm=True,
     device="tpu",                  # tpu | cpu (jax backend)
     save_samples=True,
+    checkpoint_every=None,         # epochs between full chain checkpoints
+    resume_from=None,              # resume a run from chain.ckpt.npz
+    profile_dir=None,              # jax.profiler trace dir (one epoch)
     progressbar=True,
     seed=0,
     n_chains=1,                    # vmapped parallel chains (TPU-native)
@@ -187,8 +190,12 @@ def _main_inner(cfg, run):
                 metrics_saver=metrics_saver, model_saver=model_saver,
                 reject_samples=cfg["reject_samples"],
                 batch_size=cfg["batch_size"], augment_fn=augment_fn,
-                init_params=params, init_model_state=model_state, key=k_run)
-            runner.run(progressbar=cfg["progressbar"])
+                init_params=params, init_model_state=model_state, key=k_run,
+                checkpoint_path=run.artifact("chain.ckpt.npz"),
+                checkpoint_every=cfg["checkpoint_every"],
+                profile_dir=cfg["profile_dir"])
+            runner.run(progressbar=cfg["progressbar"],
+                       resume_from=cfg["resume_from"])
             samples = runner.get_samples()
         finally:
             if model_saver is not None:

@@ -1,0 +1,99 @@
+"""Full chain-state checkpoint/resume tests.
+
+The contract is strictly stronger than the reference's sample-warm-start
+(`train_bnn.py:187-203`): resuming from a checkpoint continues the exact
+trajectory — final chain state is bitwise identical to an uninterrupted
+run (position, momentum, RMSProp EMA, preconditioner, PRNG keys).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bnn_priors_tpu import models
+from bnn_priors_tpu.inference import SGLDRunner, VerletSGLDRunner
+from bnn_priors_tpu.io.checkpoint import (load_chain_checkpoint,
+                                          save_chain_checkpoint)
+
+
+def _make_runner(cls, tmp_path=None, every=None, **kw):
+    key = jax.random.key(0)
+    kx, ky, key = jax.random.split(key, 3)
+    x = jax.random.normal(kx, (64, 4), jnp.float32)
+    y = jnp.sin(x.sum(-1, keepdims=True)) + \
+        0.1 * jax.random.normal(ky, (64, 1), jnp.float32)
+    model = models.DenseNet(4, 1, width=8, depth=2)
+    return cls(model, (x, y), None, epochs_per_cycle=2, warmup_epochs=1,
+               sample_epochs=1, learning_rate=1e-3, cycles=2, momentum=0.9,
+               temperature=1.0, batch_size=16, key=jax.random.key(42),
+               precond_update=1,
+               checkpoint_path=(str(tmp_path / "chain.ckpt.npz")
+                                if tmp_path else None),
+               checkpoint_every=every)
+
+
+@pytest.mark.parametrize("cls", [SGLDRunner, VerletSGLDRunner])
+def test_resume_is_bitwise_identical(cls, tmp_path):
+    # uninterrupted run
+    r_full = _make_runner(cls)
+    r_full.run(progressbar=False)
+
+    # checkpointing run (ckpt written after every epoch; last kept at e=4
+    # overwrites earlier ones, so re-run a fresh runner resuming from the
+    # checkpoint written after epoch 2 — capture it by stopping there)
+    r_a = _make_runner(cls, tmp_path, every=2)
+    # truncate: run only the first 2 epochs by lying about cycles
+    r_a.cycles = 1
+    r_a.run(progressbar=False)
+    # r_a wrote chain.ckpt.npz at next_epoch_index=2; note its final extra
+    # logging step consumed PRNG state, so checkpoint semantics must not
+    # depend on it: resume from the file as a *fresh* runner
+    r_b = _make_runner(cls, tmp_path)
+    r_b.run(progressbar=False,
+            resume_from=str(tmp_path / "chain.ckpt.npz"))
+
+    for name in ("position", "momentum", "square_avg", "precond"):
+        a = np.asarray(getattr(r_full.chain, name))
+        b = np.asarray(getattr(r_b.chain, name))
+        np.testing.assert_array_equal(a, b, err_msg=name)
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(r_full.chain.key)),
+        np.asarray(jax.random.key_data(r_b.chain.key)))
+    # samples collected after resume match the uninterrupted run's tail
+    s_full = r_full.get_samples()
+    s_b = r_b.get_samples()
+    k = next(iter(s_full))
+    np.testing.assert_array_equal(np.asarray(s_full[k][-1]),
+                                  np.asarray(s_b[k][-1]))
+
+
+def test_checkpoint_roundtrip_types(tmp_path):
+    "typed PRNG keys and mixed-dtype trees survive the npz roundtrip"
+    chain = {"a": jnp.arange(5.0), "k": jax.random.key(3)}
+    mstate = {"bn": jnp.ones((2, 3), jnp.float32)}
+    rkey = jax.random.key(7)
+    path = str(tmp_path / "c.npz")
+    save_chain_checkpoint(path, chain, mstate, rkey,
+                          {"next_epoch_index": 4, "step": 17,
+                           "initial_potential": -1.5, "total_energy": 0.25})
+    c2, m2, k2, meta = load_chain_checkpoint(path, chain, mstate, rkey)
+    np.testing.assert_array_equal(np.asarray(c2["a"]), np.arange(5.0))
+    assert jnp.issubdtype(c2["k"].dtype, jax.dtypes.prng_key)
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(c2["k"])),
+        np.asarray(jax.random.key_data(chain["k"])))
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(k2)),
+        np.asarray(jax.random.key_data(rkey)))
+    assert int(meta["step"]) == 17
+    assert float(meta["total_energy"]) == 0.25
+
+
+def test_checkpoint_structure_mismatch_raises(tmp_path):
+    path = str(tmp_path / "c.npz")
+    save_chain_checkpoint(path, {"a": jnp.zeros(3)}, {}, jax.random.key(0),
+                          {"next_epoch_index": 0, "step": 0,
+                           "initial_potential": 0.0, "total_energy": 0.0})
+    with pytest.raises(KeyError):
+        load_chain_checkpoint(path, {"a": jnp.zeros(3), "b": jnp.zeros(2)},
+                              {}, jax.random.key(0))
