@@ -1,0 +1,152 @@
+"""TPU-native tempering sweep: the whole (temperatures x replicates) grid
+for one prior runs as vmapped parallel chains in ONE jitted program.
+
+The reference fans the same grid out as ~30 independent processes per
+prior (`run_experiment.sh:15-41`, jug task files); here the grid is a
+chain axis — one fused update for all chains, per-chain temperature and
+PRNG stream, optional `chains` mesh axis over multiple devices. Each chain
+still gets its own numbered run directory (config.json / run.json /
+samples.pt / result) so `eval_bnn.py` and `notebook_utils.collect_runs`
+work unchanged.
+
+    python experiments/sweep_tempering.py with data=cifar10 \
+        model=googleresnet weight_prior=gaussian \
+        temperatures='[0.001,0.01,0.03,0.1,0.3,1.0]' replicates=5 \
+        cycles=60 warmup=45 n_samples=300 lr=0.01
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bnn_priors_tpu.exp.config import RunDirectory, parse_cli
+
+DEFAULTS = dict(
+    data="cifar10",
+    model="googleresnet",
+    width=50,
+    depth=3,
+    weight_prior="gaussian",
+    bias_prior="gaussian",
+    weight_loc=0.0,
+    weight_scale=1.41,
+    bias_loc=0.0,
+    bias_scale=1.0,
+    weight_prior_params={},
+    bias_prior_params={},
+    temperatures=[0.001, 0.01, 0.03, 0.1, 0.3, 1.0],
+    replicates=5,
+    inference="VerletSGLD",        # multichain kernels: SGLD | VerletSGLD
+    n_samples=300,
+    cycles=60,
+    burnin=0,
+    warmup=45,
+    skip=1,
+    skip_first=50,
+    lr=0.01,
+    momentum=0.994,
+    precond_update=1,
+    batch_size=128,
+    batchnorm=True,
+    n_devices=None,                # chains mesh axis size (None = all)
+    device="tpu",
+    seed=0,
+    save_samples=True,
+    progressbar=True,
+    log_dir=str(Path(__file__).resolve().parent.parent / "logs_sweep"),
+)
+
+
+def main(cfg):
+    import jax
+    if cfg["device"] == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from bnn_priors_tpu import exp_utils
+    from bnn_priors_tpu.evaluate import evaluate_model
+    from bnn_priors_tpu.io import HDF5ModelSaver
+    from bnn_priors_tpu.parallel import MultiChainRunner
+
+    data = exp_utils.get_data(cfg["data"])
+    x_train = jnp.asarray(data.norm.train_X, dtype=jnp.float32)
+    y_train = data.norm.train_y
+    x_test = jnp.asarray(data.norm.test_X, dtype=jnp.float32)
+    y_test = jnp.asarray(data.norm.test_y)
+
+    model = exp_utils.get_model(
+        x_train, y_train, cfg["model"], cfg["width"], cfg["depth"],
+        cfg["weight_prior"], cfg["weight_loc"], cfg["weight_scale"],
+        cfg["bias_prior"], cfg["bias_loc"], cfg["bias_scale"],
+        cfg["batchnorm"], cfg["weight_prior_params"],
+        cfg["bias_prior_params"])
+
+    temps = [float(t) for t in cfg["temperatures"]]
+    reps = int(cfg["replicates"])
+    assert temps and reps >= 1, \
+        f"need a non-empty temperature grid and replicates>=1, got " \
+        f"temperatures={temps} replicates={reps}"
+    # chain c = (replicate r, temperature t): c = r * len(temps) + t
+    chain_temps = jnp.asarray(temps * reps, jnp.float32)
+    n_chains = len(temps) * reps
+
+    devices = jax.devices()
+    n_dev = cfg["n_devices"] or len(devices)
+    mesh = None
+    if n_dev > 1:
+        assert n_chains % n_dev == 0, (n_chains, n_dev)
+        mesh = Mesh(np.asarray(devices[:n_dev]), ("chains",))
+
+    assert (cfg["n_samples"] * cfg["skip"]) % cfg["cycles"] == 0
+    sample_epochs = cfg["n_samples"] * cfg["skip"] // cfg["cycles"]
+    epochs_per_cycle = cfg["warmup"] + cfg["burnin"] + sample_epochs
+
+    augment_fn = getattr(type(data), "augment_fn", None)
+    if augment_fn is not None:
+        augment_fn = getattr(data, "augment_fn")
+
+    runner = MultiChainRunner(
+        model, (x_train, y_train), n_chains=n_chains,
+        temperatures=chain_temps, kernel=cfg["inference"],
+        learning_rate=cfg["lr"], momentum=cfg["momentum"],
+        batch_size=cfg["batch_size"], cycles=cfg["cycles"],
+        epochs_per_cycle=epochs_per_cycle, warmup_epochs=cfg["warmup"],
+        sample_epochs=sample_epochs, skip=cfg["skip"],
+        precond_update=cfg["precond_update"], mesh=mesh,
+        key=jax.random.key(cfg["seed"]), augment_fn=augment_fn)
+    runner.run(progressbar=cfg["progressbar"])
+
+    # one reference-compatible run dir per chain
+    results = []
+    for c in range(n_chains):
+        r, t = divmod(c, len(temps))
+        chain_cfg = {**cfg, "temperature": temps[t], "replicate": r,
+                     "chain_index": c, "n_chains": n_chains,
+                     "temperatures": temps}
+        run = RunDirectory(cfg["log_dir"], chain_cfg)
+        bank = runner.chain_samples(c)
+        if cfg["save_samples"]:
+            with HDF5ModelSaver(run.artifact("samples.pt")) as saver:
+                E = next(iter(bank.values())).shape[0]
+                for e in range(E):
+                    saver.add_state_dict(
+                        {k: np.asarray(v[e]) for k, v in bank.items()},
+                        step=e)
+        skip_first = min(cfg["skip_first"],
+                         next(iter(bank.values())).shape[0] - 1)
+        eval_bank = {k: v[skip_first:] for k, v in bank.items()}
+        res = evaluate_model(model, (x_test, y_test), eval_bank)
+        res.update(temperature=temps[t], replicate=r)
+        run.finish(res)
+        results.append(res)
+        print(json.dumps(res))
+    return results
+
+
+if __name__ == "__main__":
+    cfg = parse_cli(DEFAULTS)
+    main(cfg)
