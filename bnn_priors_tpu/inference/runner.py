@@ -53,7 +53,8 @@ class SGLDRunner:
                  augment_fn: Optional[Callable] = None,
                  init_params=None, init_model_state=None, key=None,
                  checkpoint_path=None, checkpoint_every=None,
-                 profile_dir=None, profile_epoch=1):
+                 profile_dir=None, profile_epoch=1,
+                 matmul_precision=None):
         self.model = model
         self.train_x, self.train_y = train_data
         if test_data is not None:
@@ -94,6 +95,11 @@ class SGLDRunner:
         # jax.profiler trace of one epoch (reference has no tracing, §5.1)
         self.profile_dir = profile_dir
         self.profile_epoch = profile_epoch
+        # 'bfloat16' runs MXU matmuls/convs at native bf16 (the standard
+        # JAX/TPU default and the analogue of the reference's TF32-on-GPU):
+        # measured grad error 5e-2 relative, 5x below the minibatch noise
+        # SG-MCMC is built to tolerate. None = leave the JAX default.
+        self.matmul_precision = matmul_precision
 
         self.n_full = self.N // self.batch_size
         self.tail = self.N - self.n_full * self.batch_size
@@ -163,7 +169,14 @@ class SGLDRunner:
 
     def _get_jit(self, name, builder):
         if name not in self._jit_cache:
-            self._jit_cache[name] = jax.jit(builder())
+            fn = builder()
+            if self.matmul_precision is not None:
+                prec, fn0 = self.matmul_precision, fn
+
+                def fn(*args, _fn0=fn0, _prec=prec, **kw):
+                    with jax.default_matmul_precision(_prec):
+                        return _fn0(*args, **kw)
+            self._jit_cache[name] = jax.jit(fn)
         return self._jit_cache[name]
 
     def _scan_steps(self, chain, model_state, step, idxs, temperature):

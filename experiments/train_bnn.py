@@ -52,6 +52,7 @@ DEFAULTS = dict(
     reject_samples=False,
     batchnorm=True,
     device="tpu",                  # tpu | cpu (jax backend)
+    matmul_precision="bfloat16",   # MXU precision; 'float32' for exact
     save_samples=True,
     checkpoint_every=None,         # epochs between full chain checkpoints
     resume_from=None,              # resume a run from chain.ckpt.npz
@@ -193,7 +194,9 @@ def _main_inner(cfg, run):
                 init_params=params, init_model_state=model_state, key=k_run,
                 checkpoint_path=run.artifact("chain.ckpt.npz"),
                 checkpoint_every=cfg["checkpoint_every"],
-                profile_dir=cfg["profile_dir"])
+                profile_dir=cfg["profile_dir"],
+                matmul_precision=(cfg["matmul_precision"]
+                                  if cfg["device"] != "cpu" else None))
             runner.run(progressbar=cfg["progressbar"],
                        resume_from=cfg["resume_from"])
             samples = runner.get_samples()
