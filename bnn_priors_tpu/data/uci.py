@@ -18,7 +18,10 @@ __all__ = ("UCI",)
 
 _DEFAULT_ROOTS = (
     os.environ.get("BNN_PRIORS_DATA", "") + "/UCI",
-    "/root/reference/bnn_priors/data/UCI",
+    # the 9 UCI datasets x 20 splits ship with the package (public data
+    # artifacts, Hernandez-Lobato & Adams splits, same layout as the
+    # reference's bundled copy)
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "UCI"),
 )
 
 

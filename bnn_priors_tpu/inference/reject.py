@@ -46,6 +46,22 @@ class VerletSGLDRunnerReject(VerletSGLDRunner):
         return jax.random.permutation(
             jax.random.fold_in(self._perm_key, cycle), self.N)
 
+    def save_checkpoint(self, path, next_epoch_index, step, extra=None):
+        extra = dict(extra or {})
+        if hasattr(self, "_perm_key"):
+            # the fixed per-cycle permutation key is drawn lazily; persist
+            # it so resumed runs revisit data in the identical order
+            extra["perm_key"] = np.asarray(
+                jax.random.key_data(self._perm_key))
+        super().save_checkpoint(path, next_epoch_index, step, extra)
+
+    def restore_checkpoint(self, path):
+        out = super().restore_checkpoint(path)
+        if "perm_key" in self._ckpt_meta:
+            self._perm_key = jax.random.wrap_key_data(
+                jnp.asarray(self._ckpt_meta["perm_key"]))
+        return out
+
     # -- exact full-dataset gradient --------------------------------------
     def _exact_vg(self, chain_position, model_state):
         """(loss, log_prior, potential, acc, grads, new_model_state) with
@@ -144,32 +160,40 @@ class VerletSGLDRunnerReject(VerletSGLDRunner):
         return f(chain, jnp.asarray(lr_index), jnp.asarray(temperature, dt))
 
     # -- main loop ---------------------------------------------------------
-    def run(self, progressbar=False):
+    def run(self, progressbar=False, resume_from=None):
         mstep = 0  # metrics step counter (batches + boundaries)
-
-        # initial exact-gradient step (inference_reject.py:56-66)
-        loss, log_prior, pot, acc, grads, self.model_state = self._exact_vg(
-            self.chain.position, self.model_state)
-        self.chain = self.kernel.sample_momentum(self.chain, self.temperature)
-        lr0 = self.learning_rate * float(self.schedule(0))
-        self.chain, km = self.kernel.initial_step(
-            self.chain, grads, jnp.asarray(lr0), self.temperature,
-            save_state=self.reject_samples)
-        self._initial_potential = float(pot)
-        self._total_energy = 0.0
-        self._log_row(mstep, {
-            "loss": float(loss), "log_prior": float(log_prior),
-            "potential": float(pot), "acc": float(acc), "lr": lr0,
-        }, km, corresponds_to_sample=True, delta_energy=0.0, total_energy=0.0,
-            rejected=(False if self.reject_samples else None))
-
         lr_index = 0
-        iterator = range(self.cycles)
+        start_e = 0
+        if resume_from is not None:
+            start_e, lr_index = self.restore_checkpoint(resume_from)
+            mstep = int(self._ckpt_meta.get("mstep", lr_index))
+        else:
+            # initial exact-gradient step (inference_reject.py:56-66)
+            loss, log_prior, pot, acc, grads, self.model_state = \
+                self._exact_vg(self.chain.position, self.model_state)
+            self.chain = self.kernel.sample_momentum(self.chain,
+                                                     self.temperature)
+            lr0 = self.learning_rate * float(self.schedule(0))
+            self.chain, km = self.kernel.initial_step(
+                self.chain, grads, jnp.asarray(lr0), self.temperature,
+                save_state=self.reject_samples)
+            self._initial_potential = float(pot)
+            self._total_energy = 0.0
+            self._log_row(mstep, {
+                "loss": float(loss), "log_prior": float(log_prior),
+                "potential": float(pot), "acc": float(acc), "lr": lr0,
+            }, km, corresponds_to_sample=True, delta_energy=0.0,
+                total_energy=0.0,
+                rejected=(False if self.reject_samples else None))
+
+        total_epochs = self.cycles * self.epochs_per_cycle
+        iterator = range(start_e, total_epochs)
         if progressbar:
             import tqdm
-            iterator = tqdm.tqdm(iterator, desc="cycles")
-        for cycle in iterator:
-            for epoch in range(self.epochs_per_cycle):
+            iterator = tqdm.tqdm(iterator, desc="epochs")
+        for e in iterator:
+            cycle, epoch = divmod(e, self.epochs_per_cycle)
+            if True:
                 temperature = (0.0 if epoch < self.descent_epochs
                                else self.temperature)
                 perm = self._epoch_perm(cycle, epoch)
@@ -226,6 +250,11 @@ class VerletSGLDRunnerReject(VerletSGLDRunner):
                     self.chain = self.kernel.update_preconditioner(self.chain)
                 if self.metrics_saver is not None:
                     self.metrics_saver.flush(every_s=30, keep_last_row=True)
+                if (self.checkpoint_path is not None
+                        and self.checkpoint_every is not None
+                        and (e + 1) % self.checkpoint_every == 0):
+                    self.save_checkpoint(self.checkpoint_path, e + 1,
+                                         lr_index, extra={"mstep": mstep})
         if self.metrics_saver is not None:
             self.metrics_saver.flush()
 

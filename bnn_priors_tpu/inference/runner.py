@@ -269,22 +269,26 @@ class SGLDRunner:
                                        "total_energy": None}
 
     # -- checkpoint / resume ------------------------------------------------
-    def save_checkpoint(self, path, next_epoch_index, step):
+    def save_checkpoint(self, path, next_epoch_index, step, extra=None):
         from ..io.checkpoint import save_chain_checkpoint
-        save_chain_checkpoint(
-            path, self.chain, self.model_state, self.key,
-            {"next_epoch_index": int(next_epoch_index), "step": int(step),
-             "initial_potential": float(self._initial_potential),
-             "total_energy": float(self._total_energy)})
+        meta = {"next_epoch_index": int(next_epoch_index), "step": int(step),
+                "initial_potential": float(self._initial_potential),
+                "total_energy": float(self._total_energy)}
+        meta.update(extra or {})
+        save_chain_checkpoint(path, self.chain, self.model_state, self.key,
+                              meta)
 
     def restore_checkpoint(self, path):
-        "returns (next_epoch_index, step); restores all runner state"
+        """returns (next_epoch_index, step); restores all runner state.
+        The full metadata dict is kept in `self._ckpt_meta` for
+        subclass-specific fields."""
         from ..io.checkpoint import load_chain_checkpoint
         chain, mstate, rkey, meta = load_chain_checkpoint(
             path, self.chain, self.model_state, self.key)
         self.chain, self.model_state, self.key = chain, mstate, rkey
         self._initial_potential = float(meta["initial_potential"])
         self._total_energy = float(meta["total_energy"])
+        self._ckpt_meta = meta
         return int(meta["next_epoch_index"]), int(meta["step"])
 
     # -- public API --------------------------------------------------------
@@ -427,8 +431,12 @@ class SGLDRunner:
                 return jnp.sum(lps) / n, jnp.sum(accs) / n
             return f
         f = self._get_jit(("eval", B, n_batches), builder)
-        xs = jnp.concatenate([self.test_x, self.test_x[:pad]]) if pad else self.test_x
-        ys = jnp.concatenate([self.test_y, self.test_y[:pad]]) if pad else self.test_y
+        # zero-pad to whole batches (the mask removes the padding's
+        # contribution; slicing test_x[:pad] breaks when pad > n)
+        zpad = lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]) if pad else a
+        xs = zpad(self.test_x)
+        ys = zpad(self.test_y)
         mask = jnp.concatenate([jnp.ones(n), jnp.zeros(pad)])
         xs = xs.reshape((n_batches, B) + xs.shape[1:])
         ys = ys.reshape((n_batches, B) + ys.shape[1:])

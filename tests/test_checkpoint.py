@@ -11,7 +11,8 @@ import numpy as np
 import pytest
 
 from bnn_priors_tpu import models
-from bnn_priors_tpu.inference import SGLDRunner, VerletSGLDRunner
+from bnn_priors_tpu.inference import (SGLDRunner, VerletSGLDRunner,
+                                      VerletSGLDRunnerReject)
 from bnn_priors_tpu.io.checkpoint import (load_chain_checkpoint,
                                           save_chain_checkpoint)
 
@@ -32,7 +33,8 @@ def _make_runner(cls, tmp_path=None, every=None, **kw):
                checkpoint_every=every)
 
 
-@pytest.mark.parametrize("cls", [SGLDRunner, VerletSGLDRunner])
+@pytest.mark.parametrize("cls", [SGLDRunner, VerletSGLDRunner,
+                                 VerletSGLDRunnerReject])
 def test_resume_is_bitwise_identical(cls, tmp_path):
     # uninterrupted run
     r_full = _make_runner(cls)
