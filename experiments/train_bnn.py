@@ -76,8 +76,9 @@ def main(cfg):
     from bnn_priors_tpu.evaluate import evaluate_model
     from bnn_priors_tpu.io import HDF5Metrics, HDF5ModelSaver, load_samples
 
-    assert cfg["inference"] in ["SGLD", "VerletSGLD", "OurHMC", "HMCReject",
-                                "VerletSGLDReject", "SGLDReject"]
+    assert cfg["inference"] in ["SGLD", "VerletSGLD", "OurHMC", "HMC",
+                                "HMCReject", "VerletSGLDReject",
+                                "SGLDReject"]
     run = RunDirectory(cfg["log_dir"], cfg)
     try:
         return _main_inner(cfg, run)
@@ -158,14 +159,24 @@ def _main_inner(cfg, run):
         print(f"warm start: loaded {loaded} arrays", file=sys.stderr)
 
     # -- runner ------------------------------------------------------------
+    # "HMC" = classical full-batch HMC with exact M-H: the reference
+    # dispatches it to pyro's HMC over model.get_potential
+    # (train_bnn.py:216-221); here it is HMCRunnerReject with
+    # batch_size = N (every gradient is the exact full-data gradient).
     runner_class = {
         "SGLD": inference.SGLDRunner,
         "VerletSGLD": inference.VerletSGLDRunner,
         "OurHMC": inference.HMCRunner,
+        "HMC": inference.HMCRunnerReject,
         "VerletSGLDReject": inference.VerletSGLDRunnerReject,
         "HMCReject": inference.HMCRunnerReject,
         "SGLDReject": inference.SGLDRunnerReject,
     }[cfg["inference"]]
+    batch_size = cfg["batch_size"]
+    if cfg["inference"] == "HMC":
+        batch_size = int(x_train.shape[0])
+        assert cfg["temperature"] == 1.0 and cfg["burnin"] == 0, \
+            "classical HMC requires temperature=1 and no descent epochs"
 
     assert (cfg["n_samples"] * cfg["skip"]) % cfg["cycles"] == 0
     sample_epochs = cfg["n_samples"] * cfg["skip"] // cfg["cycles"]
@@ -189,8 +200,9 @@ def _main_inner(cfg, run):
                 temperature=cfg["temperature"], momentum=cfg["momentum"],
                 precond_update=cfg["precond_update"],
                 metrics_saver=metrics_saver, model_saver=model_saver,
-                reject_samples=cfg["reject_samples"],
-                batch_size=cfg["batch_size"], augment_fn=augment_fn,
+                reject_samples=(cfg["reject_samples"]
+                                or cfg["inference"] == "HMC"),
+                batch_size=batch_size, augment_fn=augment_fn,
                 init_params=params, init_model_state=model_state, key=k_run,
                 checkpoint_path=run.artifact("chain.ckpt.npz"),
                 checkpoint_every=cfg["checkpoint_every"],
