@@ -30,13 +30,16 @@ def load_metrics(path) -> Dict:
     import h5py
     out: Dict = {}
     with h5py.File(path, "r") as f:
-        for k in f.keys():
-            arr = np.asarray(f[k])
+        def visit(k, obj):
+            if not isinstance(obj, h5py.Dataset):
+                return
+            arr = np.asarray(obj)
             if "/" in k:
                 group, name = k.split("/", 1)
                 out.setdefault(group, {})[name] = arr
             else:
                 out[k] = arr
+        f.visititems(visit)
     # 'acceptance/...' stays grouped; est_* groups keyed by parameter name
     return out
 
