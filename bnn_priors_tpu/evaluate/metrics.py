@@ -155,7 +155,9 @@ def evaluate_ood(model, train_data, ood_data, samples, batch_size=512):
     max softmax probability (reference exp_utils.py:343-380)."""
     scores = {}
     for name, (x, y) in (("train", train_data), ("eval", ood_data)):
-        if y is None:
+        if y is None or not jnp.issubdtype(jnp.asarray(y).dtype, jnp.integer):
+            # labels are unused for the max-softmax score; OOD sets may
+            # carry non-class (regression) targets
             y = jnp.zeros((x.shape[0],), dtype=jnp.int32)
         _, preds, is_classification = _predict_all(model, x, y, samples,
                                                    batch_size)

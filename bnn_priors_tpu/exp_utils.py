@@ -52,6 +52,39 @@ def get_data(data: str, synthetic_ok=True, **kwargs):
     return registry[data](**kwargs)
 
 
+def get_data_from_config(cfg, key=None):
+    """Dataset from a training config, including `synthetic.<base>.<prior>`
+    names (reference train_bnn.py:132-142): the true model's parameters are
+    drawn from the config seed, so train and eval regenerate the IDENTICAL
+    synthetic dataset. Returns (data, key_after)."""
+    import jax
+    import jax.numpy as jnp
+    from .data import Synthetic
+
+    if key is None:
+        key = jax.random.key(cfg["seed"])
+    data_name = cfg["data"]
+    if not data_name.startswith("synthetic."):
+        return get_data(data_name), key
+    _, base_name, prior_name = data_name.split(".")
+    try:
+        # toy bases draw random inputs — pin them to the config seed so
+        # eval regenerates the same dataset; file-backed bases (UCI, MNIST)
+        # are deterministic and take no seed
+        base = get_data(base_name, seed=int(cfg["seed"]))
+    except TypeError:
+        base = get_data(base_name)
+    model_true = get_model(
+        base.norm.train_X, base.norm.train_y, cfg["model"], cfg["width"],
+        cfg["depth"], prior_name, cfg["weight_loc"], cfg["weight_scale"],
+        cfg["bias_prior"], cfg["bias_loc"], cfg["bias_scale"],
+        cfg["batchnorm"], {}, cfg["bias_prior_params"])
+    k_p, k_s, key = jax.random.split(key, 3)
+    params, mstate = model_true.init(k_p, dtype=jnp.float32)
+    params = model_true.sample_all_priors(k_s, params)
+    return Synthetic(base, model_true, params, mstate, key=key), key
+
+
 def get_model(x_train, y_train, model: str, width, depth, weight_prior,
               weight_loc, weight_scale, bias_prior, bias_loc, bias_scale,
               batchnorm, weight_prior_params: Dict, bias_prior_params: Dict):
@@ -73,7 +106,9 @@ def get_model(x_train, y_train, model: str, width, depth, weight_prior,
             return x_train.shape[1], x_train.shape[-2]
         return 1, int(math.sqrt(x_train.shape[-1]))
 
-    n_classes = int(jnp.max(y_train)) + 1 if y_train.ndim == 1 else None
+    # reference uses y.max()+1 (exp_utils.py:117); tolerate (N,1)-shaped or
+    # float toy targets (synthetic.<data>.<prior> resamples labels anyway)
+    n_classes = max(int(jnp.max(jnp.ravel(y_train))) + 1, 2)
 
     if model == "densenet":
         return models.DenseNet(x_train.shape[-1], y_train.shape[-1], width,

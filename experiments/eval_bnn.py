@@ -53,7 +53,11 @@ def main(cfg):
 
     run = RunDirectory(cfg["log_dir"], {**train_cfg, **cfg})
 
-    data = exp_utils.get_data(cfg["eval_data"] or train_cfg["data"])
+    if cfg["eval_data"]:
+        data = exp_utils.get_data(cfg["eval_data"])
+    else:
+        # regenerates synthetic.<base>.<prior> datasets from the train seed
+        data, _ = exp_utils.get_data_from_config(train_cfg)
     x_train = jnp.asarray(data.norm.train_X, dtype=jnp.float32)
     y_train = data.norm.train_y
     x_test = jnp.asarray(data.norm.test_X, dtype=jnp.float32)
@@ -78,14 +82,19 @@ def main(cfg):
             samples = reject_samples_(samples, metrics_np)
     samples = {k: v[cfg["skip_first"]:] for k, v in samples.items()}
 
-    result = evaluate_model(
-        model, (x_test, y_test), samples, likelihood_eval=True,
-        accuracy_eval=True, calibration_eval=cfg["calibration_eval"],
-        batch_size=cfg["batch_size"])
+    if cfg["ood_eval"]:
+        # like the reference (eval_bnn.py:120-124): OOD runs score-only —
+        # the OOD set's labels may not even be class labels
+        result = {}
+    else:
+        result = evaluate_model(
+            model, (x_test, y_test), samples, likelihood_eval=True,
+            accuracy_eval=True, calibration_eval=cfg["calibration_eval"],
+            batch_size=cfg["batch_size"])
 
     if cfg["ood_eval"]:
         # in-dist score uses the *training data's test split*
-        train_data = exp_utils.get_data(train_cfg["data"])
+        train_data, _ = exp_utils.get_data_from_config(train_cfg)
         tx = jnp.asarray(train_data.norm.test_X, dtype=jnp.float32)
         ty = jnp.asarray(train_data.norm.test_y)
         result.update(evaluate_ood(model, (tx, ty), (x_test, y_test),

@@ -100,21 +100,7 @@ def _main_inner(cfg, run):
     key = jax.random.key(cfg["seed"])
 
     # -- data --------------------------------------------------------------
-    data_name = cfg["data"]
-    if data_name.startswith("synthetic."):
-        _, base_name, prior_name = data_name.split(".")
-        base = exp_utils.get_data(base_name)
-        model_true = exp_utils.get_model(
-            base.norm.train_X, base.norm.train_y, cfg["model"], cfg["width"],
-            cfg["depth"], prior_name, cfg["weight_loc"], cfg["weight_scale"],
-            cfg["bias_prior"], cfg["bias_loc"], cfg["bias_scale"],
-            cfg["batchnorm"], {}, cfg["bias_prior_params"])
-        k_p, k_s, key = jax.random.split(key, 3)
-        params, mstate = model_true.init(k_p, dtype=jnp.float32)
-        params = model_true.sample_all_priors(k_s, params)
-        data = Synthetic(base, model_true, params, mstate, key=key)
-    else:
-        data = exp_utils.get_data(data_name)
+    data, key = exp_utils.get_data_from_config(cfg, key)
 
     x_train = jnp.asarray(data.norm.train_X, dtype=jnp.float32)
     y_train = data.norm.train_y
