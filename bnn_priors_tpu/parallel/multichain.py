@@ -36,7 +36,7 @@ class MultiChainRunner:
                  epochs_per_cycle=1, warmup_epochs=0, sample_epochs=1,
                  skip=1, grad_max=1e6, precond_update=None,
                  data_mult=1.0, mesh: Optional[Mesh] = None, key=None,
-                 dtype=jnp.float32, augment_fn=None):
+                 dtype=jnp.float32, augment_fn=None, model_savers=None):
         self.model = model
         self.train_x, self.train_y = train_data
         self.n_chains = int(n_chains)
@@ -78,6 +78,11 @@ class MultiChainRunner:
             sh = NamedSharding(mesh, P("chains"))
             self.states = jax.device_put(self.states, sh)
             self.model_states = jax.device_put(self.model_states, sh)
+        # optional list of per-chain HDF5ModelSaver-like objects: samples
+        # stream to disk instead of accumulating in host memory (a 300-
+        # sample ResNet sweep would otherwise hold tens of GB)
+        assert model_savers is None or len(model_savers) == self.n_chains
+        self.model_savers = model_savers
         self._samples = []
         self._epoch_fn = None
 
@@ -102,7 +107,14 @@ class MultiChainRunner:
             lr = lr0 * schedule(step)
             state, _ = kernel.step(state, g, lr, temperature,
                                    calc_metrics=False)
-            return state, new_ms, {"potential": pot, "acc": aux["acc"]}
+            # per-chain tempering diagnostics (aggregate over all params):
+            # kinetic temperature ||m||^2/d, config temperature <theta,g>N/d
+            d = jnp.asarray(kernel.packer.total, g.dtype)
+            est_t = jnp.sum(state.momentum * state.momentum) / d
+            est_c = jnp.sum(state.position * g) * (kernel.num_data / d)
+            return state, new_ms, {"potential": pot, "acc": aux["acc"],
+                                   "est_temperature": est_t,
+                                   "est_config_temp": est_c}
 
         def epoch(states, model_states, idxs, step0, temperatures):
             # idxs: (n_chains, n_batches, B)
@@ -159,11 +171,23 @@ class MultiChainRunner:
                     self.states = jax.vmap(self.kernel.update_preconditioner)(
                         self.states)
                 if self._is_sampling_epoch(epoch):
-                    self._samples.append(
-                        (np.asarray(self.states.position),
-                         {k: np.asarray(v) for k, v in
-                          self.model_states.items()}, step))
+                    if self.model_savers is not None:
+                        self._stream_sample(step)
+                    else:
+                        self._samples.append(
+                            (np.asarray(self.states.position),
+                             {k: np.asarray(v) for k, v in
+                              self.model_states.items()}, step))
         return metrics_hist
+
+    def _stream_sample(self, step):
+        positions = np.asarray(self.states.position)
+        mstates = {k: np.asarray(v) for k, v in self.model_states.items()}
+        for c, saver in enumerate(self.model_savers):
+            params = self.kernel.unpack(jnp.asarray(positions[c]))
+            sd = {k: np.asarray(v) for k, v in params.items()}
+            sd.update({k: v[c] for k, v in mstates.items()})
+            saver.add_state_dict(sd, step=step)
 
     def _sample_momentum_all(self):
         "per-chain momentum refresh at the chain's own temperature"

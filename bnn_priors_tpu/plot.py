@@ -102,9 +102,14 @@ def temperature_stderr(ax, metrics, temp_group, sizes: Dict[str, int],
         label = temp_group
     mean = temperatures["all"][mask]
     keys = [k for k in temperatures.keys() if k != "all"]
-    temps = np.stack([temperatures[k][mask] for k in keys], axis=1)
-    weights = np.array([sizes[k] for k in keys], dtype=float)
-    _mean, var_se = weighted_var_se(weights, temps)
+    if keys:
+        temps = np.stack([temperatures[k][mask] for k in keys], axis=1)
+        weights = np.array([sizes[k] for k in keys], dtype=float)
+        _mean, var_se = weighted_var_se(weights, temps)
+    else:
+        # aggregate-only metrics (e.g. the multichain sweep): no
+        # per-parameter spread available, draw the mean with zero band
+        var_se = np.zeros_like(mean)
 
     steps = metrics["steps"][mask]
     line, *_ = ax.plot(steps, metrics["temperature"][mask], linestyle="--",

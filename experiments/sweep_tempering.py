@@ -69,7 +69,7 @@ def main(cfg):
 
     from bnn_priors_tpu import exp_utils
     from bnn_priors_tpu.evaluate import evaluate_model
-    from bnn_priors_tpu.io import HDF5ModelSaver
+    from bnn_priors_tpu.io import HDF5ModelSaver, load_samples
     from bnn_priors_tpu.parallel import MultiChainRunner
 
     data = exp_utils.get_data(cfg["data"])
@@ -109,36 +109,61 @@ def main(cfg):
     if augment_fn is not None:
         augment_fn = getattr(data, "augment_fn")
 
-    runner = MultiChainRunner(
-        model, (x_train, y_train), n_chains=n_chains,
-        temperatures=chain_temps, kernel=cfg["inference"],
-        learning_rate=cfg["lr"], momentum=cfg["momentum"],
-        batch_size=cfg["batch_size"], cycles=cfg["cycles"],
-        epochs_per_cycle=epochs_per_cycle, warmup_epochs=cfg["warmup"],
-        sample_epochs=sample_epochs, skip=cfg["skip"],
-        precond_update=cfg["precond_update"], mesh=mesh,
-        key=jax.random.key(cfg["seed"]), augment_fn=augment_fn)
-    runner.run(progressbar=cfg["progressbar"])
-
-    # one reference-compatible run dir per chain
-    results = []
+    # one reference-compatible run dir per chain, created up front so the
+    # sample banks STREAM to disk as the sweep runs (no host-memory blowup)
+    runs, savers = [], []
     for c in range(n_chains):
         r, t = divmod(c, len(temps))
         chain_cfg = {**cfg, "temperature": temps[t], "replicate": r,
                      "chain_index": c, "n_chains": n_chains,
                      "temperatures": temps}
         run = RunDirectory(cfg["log_dir"], chain_cfg)
-        bank = runner.chain_samples(c)
+        runs.append(run)
         if cfg["save_samples"]:
-            with HDF5ModelSaver(run.artifact("samples.pt")) as saver:
-                E = next(iter(bank.values())).shape[0]
-                for e in range(E):
-                    saver.add_state_dict(
-                        {k: np.asarray(v[e]) for k, v in bank.items()},
-                        step=e)
+            savers.append(HDF5ModelSaver(run.artifact("samples.pt")))
+
+    try:
+        runner = MultiChainRunner(
+            model, (x_train, y_train), n_chains=n_chains,
+            temperatures=chain_temps, kernel=cfg["inference"],
+            learning_rate=cfg["lr"], momentum=cfg["momentum"],
+            batch_size=cfg["batch_size"], cycles=cfg["cycles"],
+            epochs_per_cycle=epochs_per_cycle, warmup_epochs=cfg["warmup"],
+            sample_epochs=sample_epochs, skip=cfg["skip"],
+            precond_update=cfg["precond_update"], mesh=mesh,
+            key=jax.random.key(cfg["seed"]), augment_fn=augment_fn,
+            model_savers=savers or None)
+        metrics_hist = runner.run(progressbar=cfg["progressbar"])
+    finally:
+        for s in savers:
+            s.close()
+
+    # per-chain metrics.h5 (epoch-end diagnostics): feeds the tempering
+    # plots (plot.temperature_stderr on the /all aggregates) + collect_runs
+    from bnn_priors_tpu.io import HDF5Metrics
+    per_epoch = {k: np.stack([np.asarray(m[k]) for m in metrics_hist])
+                 for k in metrics_hist[0]}  # (n_epochs, n_chains)
+    for c, run in enumerate(runs):
+        with HDF5Metrics(run.artifact("metrics.h5")) as ms:
+            for e in range(per_epoch["potential"].shape[0]):
+                ms.add_scalar("potential", float(per_epoch["potential"][e, c]), e)
+                ms.add_scalar("acc", float(per_epoch["acc"][e, c]), e)
+                ms.add_scalar("est_temperature/all",
+                              float(per_epoch["est_temperature"][e, c]), e)
+                ms.add_scalar("est_config_temp/all",
+                              float(per_epoch["est_config_temp"][e, c]), e)
+                ms.add_scalar("temperature", temps[c % len(temps)], e)
+
+    results = []
+    for c, run in enumerate(runs):
+        r, t = divmod(c, len(temps))
+        if savers:
+            bank = load_samples(str(run.dir / "samples.pt"))
+        else:
+            bank = runner.chain_samples(c)
         skip_first = min(cfg["skip_first"],
                          next(iter(bank.values())).shape[0] - 1)
-        eval_bank = {k: v[skip_first:] for k, v in bank.items()}
+        eval_bank = {k: np.asarray(v)[skip_first:] for k, v in bank.items()}
         res = evaluate_model(model, (x_test, y_test), eval_bank)
         res.update(temperature=temps[t], replicate=r)
         run.finish(res)
