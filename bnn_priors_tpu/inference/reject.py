@@ -21,6 +21,7 @@ Each sampling-epoch boundary costs 2 extra full-dataset passes.
 """
 from __future__ import annotations
 
+import time
 from typing import Optional
 
 import jax
@@ -63,57 +64,60 @@ class VerletSGLDRunnerReject(VerletSGLDRunner):
         return out
 
     # -- exact full-dataset gradient --------------------------------------
+    def _exact_vg_impl(self, position, model_state, tx, ty):
+        "traced body shared by the jitted wrapper and the boundary steps"
+        n_full, B, tail = self.n_full, self.batch_size, self.tail
+        idx_full = jnp.arange(n_full * B).reshape(n_full, B)
+        params = self.kernel.unpack(position)
+
+        def body(carry, idx):
+            g_acc, loss_acc, acc_acc, mstate = carry
+            xb = jnp.take(tx, idx, axis=0)
+            yb = jnp.take(ty, idx, axis=0)
+
+            def fn(p):
+                ll, new_state, fout = self.model.log_likelihood(
+                    p, mstate, xb, yb, eff_num_data=1.0, train=True)
+                this_loss = -ll * (xb.shape[0] / self.eff_num_data)
+                acc = self.model.acc_fn(fout, yb, p)
+                return this_loss, (new_state, jnp.sum(acc))
+            (this_loss, (new_state, acc_sum)), g = jax.value_and_grad(
+                fn, has_aux=True)(params)
+            return (jax.tree_util.tree_map(jnp.add, g_acc, g),
+                    loss_acc + this_loss, acc_acc + acc_sum,
+                    new_state), None
+
+        g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+        carry = (g0, jnp.asarray(0.0, position.dtype),
+                 jnp.asarray(0.0, position.dtype), model_state)
+        carry, _ = jax.lax.scan(body, carry, idx_full)
+        if tail:
+            idx_tail = jnp.arange(n_full * B, self.N)
+            carry, _ = body(carry, idx_tail)
+        g_ll, loss, acc_sum, model_state = carry
+
+        def prior_fn(p):
+            return self.model.log_prior(p) / -self.eff_num_data
+        log_norm_prior, g_prior = jax.value_and_grad(prior_fn)(params)
+        log_prior = -log_norm_prior * self.eff_num_data
+        grads = self.kernel.pack(
+            jax.tree_util.tree_map(jnp.add, g_ll, g_prior))
+        grads = jnp.clip(grads, -self.grad_max, self.grad_max)
+        potential = loss + log_norm_prior
+        return (loss, log_prior, potential, acc_sum / self.N, grads,
+                model_state)
+
     def _exact_vg(self, chain_position, model_state):
         """(loss, log_prior, potential, acc, grads, new_model_state) with
         loss = Σ_batches −ll(batch)/N and potential = loss − log_prior/N.
         One scan over all full batches (+ tail), accumulating gradients."""
 
         def builder():
-            n_full, B, tail = self.n_full, self.batch_size, self.tail
-            idx_full = jnp.arange(n_full * B).reshape(n_full, B)
-
-            def f(position, model_state):
-                params = self.kernel.unpack(position)
-
-                def body(carry, idx):
-                    g_acc, loss_acc, acc_acc, mstate = carry
-                    xb = jnp.take(self.train_x, idx, axis=0)
-                    yb = jnp.take(self.train_y, idx, axis=0)
-
-                    def fn(p):
-                        ll, new_state, fout = self.model.log_likelihood(
-                            p, mstate, xb, yb, eff_num_data=1.0, train=True)
-                        this_loss = -ll * (xb.shape[0] / self.eff_num_data)
-                        acc = self.model.acc_fn(fout, yb, p)
-                        return this_loss, (new_state, jnp.sum(acc))
-                    (this_loss, (new_state, acc_sum)), g = jax.value_and_grad(
-                        fn, has_aux=True)(params)
-                    return (jax.tree_util.tree_map(jnp.add, g_acc, g),
-                            loss_acc + this_loss, acc_acc + acc_sum,
-                            new_state), None
-
-                g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
-                carry = (g0, jnp.asarray(0.0, position.dtype),
-                         jnp.asarray(0.0, position.dtype), model_state)
-                carry, _ = jax.lax.scan(body, carry, idx_full)
-                if tail:
-                    idx_tail = jnp.arange(n_full * B, self.N)
-                    carry, _ = body(carry, idx_tail)
-                g_ll, loss, acc_sum, model_state = carry
-
-                def prior_fn(p):
-                    return self.model.log_prior(p) / -self.eff_num_data
-                log_norm_prior, g_prior = jax.value_and_grad(prior_fn)(params)
-                log_prior = -log_norm_prior * self.eff_num_data
-                grads = self.kernel.pack(
-                    jax.tree_util.tree_map(jnp.add, g_ll, g_prior))
-                grads = jnp.clip(grads, -self.grad_max, self.grad_max)
-                potential = loss + log_norm_prior
-                return (loss, log_prior, potential, acc_sum / self.N, grads,
-                        model_state)
+            def f(position, model_state, tx, ty):
+                return self._exact_vg_impl(position, model_state, tx, ty)
             return f
         f = self._get_jit("exact_vg", builder)
-        return f(chain_position, model_state)
+        return f(chain_position, model_state, self.train_x, self.train_y)
 
     # -- boundary pieces ---------------------------------------------------
     def _boundary_final(self, chain, model_state, lr_index, temperature,
@@ -121,9 +125,9 @@ class VerletSGLDRunnerReject(VerletSGLDRunner):
         "exact vg → final_step → ΔE → maybe_reject; returns host scalars too"
         def builder():
             def f(chain, model_state, lr_index, temperature,
-                  initial_potential):
+                  initial_potential, tx, ty):
                 loss, log_prior, pot, acc, grads, model_state = \
-                    self._exact_vg(chain.position, model_state)
+                    self._exact_vg_impl(chain.position, model_state, tx, ty)
                 lr = self.learning_rate * self.schedule(lr_index)
                 chain, km = self.kernel.final_step(chain, grads, lr,
                                                    temperature)
@@ -141,7 +145,9 @@ class VerletSGLDRunnerReject(VerletSGLDRunner):
         f = self._get_jit("boundary_final_exact", builder)
         dt = self.chain.position.dtype
         return f(chain, model_state, jnp.asarray(lr_index),
-                 jnp.asarray(temperature, dt), jnp.asarray(initial_potential, dt))
+                 jnp.asarray(temperature, dt),
+                 jnp.asarray(initial_potential, dt),
+                 self.train_x, self.train_y)
 
     def _boundary_initial(self, chain, lr_index, temperature):
         "(HMC momentum refresh +) initial_step with the same exact gradient"
@@ -193,6 +199,7 @@ class VerletSGLDRunnerReject(VerletSGLDRunner):
             iterator = tqdm.tqdm(iterator, desc="epochs")
         for e in iterator:
             cycle, epoch = divmod(e, self.epochs_per_cycle)
+            t_epoch = time.time()
             if True:
                 temperature = (0.0 if epoch < self.descent_epochs
                                else self.temperature)
@@ -249,6 +256,12 @@ class VerletSGLDRunnerReject(VerletSGLDRunner):
                         and (epoch + 1) % self.precond_update == 0):
                     self.chain = self.kernel.update_preconditioner(self.chain)
                 if self.metrics_saver is not None:
+                    epoch_s = time.time() - t_epoch
+                    self.metrics_saver.add_scalar(
+                        "timings/epoch_s", epoch_s, mstep)
+                    self.metrics_saver.add_scalar(
+                        "timings/steps_per_s",
+                        n_steps / max(epoch_s, 1e-9), mstep)
                     self.metrics_saver.flush(every_s=30, keep_last_row=True)
                 if (self.checkpoint_path is not None
                         and self.checkpoint_every is not None

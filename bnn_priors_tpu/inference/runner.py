@@ -146,13 +146,15 @@ class SGLDRunner:
         g = jnp.clip(self.kernel.pack(grads), -self.grad_max, self.grad_max)
         return pot, aux, new_model_state, g
 
-    def _plain_step(self, carry, idx, temperature):
-        "one minibatch transition (kernel mid-step) + metrics"
+    def _plain_step(self, carry, idx, temperature, tx, ty):
+        """one minibatch transition (kernel mid-step) + metrics.
+        `tx`/`ty` are the train arrays as TRACED arguments — closing over
+        them would bake 100s of MB of constants into the HLO."""
         chain, model_state, step = carry
         key_aug = jax.random.fold_in(jax.random.key(1), step) \
             if self.augment_fn is not None else None
-        xb = jnp.take(self.train_x, idx, axis=0)
-        yb = jnp.take(self.train_y, idx, axis=0)
+        xb = jnp.take(tx, idx, axis=0)
+        yb = jnp.take(ty, idx, axis=0)
         pot, aux, model_state, g = self._value_grad_of_batch(
             chain.position, model_state, xb, yb, key_aug)
         lr = self.learning_rate * self.schedule(step)
@@ -185,9 +187,9 @@ class SGLDRunner:
         B = idxs.shape[1]
 
         def builder():
-            def f(chain, model_state, step, idxs, temperature):
+            def f(chain, model_state, step, idxs, temperature, tx, ty):
                 def body(carry, idx):
-                    return self._plain_step(carry, idx, temperature)
+                    return self._plain_step(carry, idx, temperature, tx, ty)
                 carry, ms = jax.lax.scan(
                     body, (chain, model_state, step), idxs)
                 return carry, ms
@@ -195,22 +197,24 @@ class SGLDRunner:
         f = self._get_jit(("scan", n, B), builder)
         (chain, model_state, step), ms = f(
             chain, model_state, jnp.asarray(step), idxs,
-            jnp.asarray(temperature, self.chain.position.dtype))
+            jnp.asarray(temperature, self.chain.position.dtype),
+            self.train_x, self.train_y)
         return chain, model_state, ms
 
     def _single_step(self, chain, model_state, step, idx, temperature):
         B = idx.shape[0]
 
         def builder():
-            def f(chain, model_state, step, idx, temperature):
+            def f(chain, model_state, step, idx, temperature, tx, ty):
                 carry, m = self._plain_step((chain, model_state, step), idx,
-                                            temperature)
+                                            temperature, tx, ty)
                 return carry, m
             return f
         f = self._get_jit(("single", B), builder)
         (chain, model_state, step), m = f(
             chain, model_state, jnp.asarray(step), idx,
-            jnp.asarray(temperature, self.chain.position.dtype))
+            jnp.asarray(temperature, self.chain.position.dtype),
+            self.train_x, self.train_y)
         return chain, model_state, m
 
     # -- epoch orchestration ----------------------------------------------
@@ -511,9 +515,10 @@ class VerletSGLDRunner(SGLDRunner):
         B = idx.shape[0]
 
         def builder_first():
-            def f(chain, model_state, step, idx, temperature, key_mom):
-                xb = jnp.take(self.train_x, idx, axis=0)
-                yb = jnp.take(self.train_y, idx, axis=0)
+            def f(chain, model_state, step, idx, temperature, key_mom,
+                  tx, ty):
+                xb = jnp.take(tx, idx, axis=0)
+                yb = jnp.take(ty, idx, axis=0)
                 pot, aux, model_state, g = self._value_grad_of_batch(
                     chain.position, model_state, xb, yb, None)
                 lr = self.learning_rate * self.schedule(step)
@@ -529,9 +534,9 @@ class VerletSGLDRunner(SGLDRunner):
 
         def builder_boundary():
             def f(chain, model_state, step, idx, temperature,
-                  initial_potential):
-                xb = jnp.take(self.train_x, idx, axis=0)
-                yb = jnp.take(self.train_y, idx, axis=0)
+                  initial_potential, tx, ty):
+                xb = jnp.take(tx, idx, axis=0)
+                yb = jnp.take(ty, idx, axis=0)
                 pot, aux, model_state, g = self._value_grad_of_batch(
                     chain.position, model_state, xb, yb, None)
                 lr = self.learning_rate * self.schedule(step)
@@ -560,7 +565,8 @@ class VerletSGLDRunner(SGLDRunner):
             k_mom, self.key = jax.random.split(self.key)
             chain, model_state, metrics, pot, de = f(
                 chain, model_state, jnp.asarray(step), idx,
-                jnp.asarray(temperature, dt), k_mom)
+                jnp.asarray(temperature, dt), k_mom,
+                self.train_x, self.train_y)
             self._initial_potential = float(pot)
             self._total_energy = 0.0
             return chain, model_state, metrics, {
@@ -571,7 +577,8 @@ class VerletSGLDRunner(SGLDRunner):
             chain, model_state, metrics, pot, de, rejected = f(
                 chain, model_state, jnp.asarray(step), idx,
                 jnp.asarray(temperature, dt),
-                jnp.asarray(self._initial_potential, dt))
+                jnp.asarray(self._initial_potential, dt),
+                self.train_x, self.train_y)
             self._initial_potential = float(pot)
             self._total_energy += float(de)
             return chain, model_state, metrics, {

@@ -33,8 +33,11 @@ __all__ = ("DataDrivenGaussianClassificationConvNet",
 
 
 def default_fits_root():
-    for root in (os.environ.get("BNN_PRIORS_FITS", ""),
-                 "/root/reference/bnn_priors/models"):
+    # the fitted-prior parameter files (92 KB of data artifacts, SURVEY
+    # §2.9) ship with the package under models/fits/
+    bundled = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "fits")
+    for root in (os.environ.get("BNN_PRIORS_FITS", ""), bundled):
         if root and os.path.isdir(root):
             return root
     raise FileNotFoundError("fitted-prior files not found; set BNN_PRIORS_FITS")

@@ -91,12 +91,11 @@ class MultiChainRunner:
         kernel, model = self.kernel, self.model
         lr0, schedule = self.learning_rate, self.schedule
         grad_max, eff = self.grad_max, self.eff_num_data
-        train_x, train_y = self.train_x, self.train_y
         augment_fn = self.augment_fn
 
-        def chain_step(state, model_state, idx, step, temperature):
-            xb = jnp.take(train_x, idx, axis=0)
-            yb = jnp.take(train_y, idx, axis=0)
+        def chain_step(state, model_state, idx, step, temperature, tx, ty):
+            xb = jnp.take(tx, idx, axis=0)
+            yb = jnp.take(ty, idx, axis=0)
             if augment_fn is not None:
                 k_aug = jax.random.fold_in(state.key, 12345)
                 xb = augment_fn(k_aug, xb)
@@ -116,14 +115,16 @@ class MultiChainRunner:
                                    "est_temperature": est_t,
                                    "est_config_temp": est_c}
 
-        def epoch(states, model_states, idxs, step0, temperatures):
-            # idxs: (n_chains, n_batches, B)
+        def epoch(states, model_states, idxs, step0, temperatures, tx, ty):
+            # idxs: (n_chains, n_batches, B); train data as traced args so
+            # the HLO carries no dataset-sized constants
             def body(carry, batch_i):
                 states, model_states = carry
                 idx = idxs[:, batch_i]
                 states, model_states, m = jax.vmap(
-                    chain_step, in_axes=(0, 0, 0, None, 0)
-                )(states, model_states, idx, step0 + batch_i, temperatures)
+                    chain_step, in_axes=(0, 0, 0, None, 0, None, None)
+                )(states, model_states, idx, step0 + batch_i, temperatures,
+                  tx, ty)
                 return (states, model_states), m
             (states, model_states), ms = jax.lax.scan(
                 body, (states, model_states), jnp.arange(idxs.shape[1]))
@@ -162,7 +163,7 @@ class MultiChainRunner:
                 idxs = self._epoch_idxs()
                 self.states, self.model_states, ms = self._epoch_fn(
                     self.states, self.model_states, idxs,
-                    jnp.asarray(step), temps)
+                    jnp.asarray(step), temps, self.train_x, self.train_y)
                 step += self.n_full
                 metrics_hist.append(jax.tree_util.tree_map(
                     lambda a: np.asarray(a[-1]), ms))

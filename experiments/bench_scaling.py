@@ -56,12 +56,13 @@ def main(n_devices=8, backend="cpu", batch_size=64):
         idxs = r._epoch_idxs()
         states, mstates = r.states, r.model_states
         # warmup/compile
-        s, m, _ = fn(states, mstates, idxs, jnp.asarray(0), r.temperatures)
+        s, m, _ = fn(states, mstates, idxs, jnp.asarray(0), r.temperatures,
+                     x, y)
         jax.block_until_ready(s.position)
         reps = 10  # amortize dispatch overhead over several epoch calls
         t0 = time.perf_counter()
         for _ in range(reps):
-            s, m, _ = fn(s, m, idxs, jnp.asarray(0), r.temperatures)
+            s, m, _ = fn(s, m, idxs, jnp.asarray(0), r.temperatures, x, y)
         float(s.position[0, 0] if s.position.ndim == 2 else s.position[0])
         dt = time.perf_counter() - t0
         steps = reps * idxs.shape[1] * n_chains
