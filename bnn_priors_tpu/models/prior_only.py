@@ -45,6 +45,12 @@ class PriorOnlyModel(Model):
                               "acc": jnp.asarray(0.0)})
         return fn
 
+    def potential_avg_closure(self, eff_num_data=1.0):
+        """Reference-named alias (prior_only.py:31-35): a pure
+        `params -> potential_avg` scalar function for kernel-level tests."""
+        fn = self.potential_avg_fn(eff_num_data=eff_num_data)
+        return lambda params: fn(params)[0]
+
 
 class GaussianModel(PriorOnlyModel):
     "N independent D-dim Gaussian parameters (prior_only.py:38-41)."
