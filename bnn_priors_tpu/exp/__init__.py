@@ -1,1 +1,4 @@
-"""Experiment glue: sacred-style config + run directories."""
+"""Experiment glue: sacred-style config + run directories + task queue."""
+from .taskqueue import BarrierNotReady, Task, TaskQueue, run_script_task
+
+__all__ = ("BarrierNotReady", "Task", "TaskQueue", "run_script_task")
