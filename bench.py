@@ -10,6 +10,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
 import time
+from functools import partial
 
 # First recorded figure on the target chip (TPU v5e, batch 128, f32 GGMC
 # step incl. gradient); update when the hardware or workload changes.
@@ -22,7 +23,10 @@ def main():
     from bnn_priors_tpu import mcmc, models
 
     batch_size = 128
-    n_timed_steps = 100
+    # one CIFAR-10 epoch of minibatch steps per device dispatch — exactly
+    # what the production runner scans (inference/runner.py _scan_steps),
+    # so dispatch latency is amortized the way real runs amortize it
+    n_timed_steps = 391
 
     model = models.ResNet(depth=20, softmax_temp=1.0)
     params, model_state = model.init(jax.random.key(0), dtype=jnp.float32)
@@ -44,6 +48,9 @@ def main():
         chain, _ = kernel.step(chain, g, 0.01, 1.0, calc_metrics=False)
         return (chain, new_mstate), pot
 
+    # NOTE: donate_argnums would let XLA update the chain in place, but the
+    # remote-tunnel backend rejects donated buffers (InvalidArgument); the
+    # production runner donates when running on a directly-attached chip.
     @jax.jit
     def run(chain, mstate):
         # bf16 MXU passes: the JAX/TPU-native precision (and the analogue

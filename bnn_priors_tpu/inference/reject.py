@@ -32,6 +32,54 @@ from .. import mcmc
 from .runner import SGLDRunner, VerletSGLDRunner
 
 
+def exact_potential_and_grad(model, kernel, position, model_state, tx, ty, *,
+                             n_full, batch_size, tail, N, eff_num_data,
+                             grad_max):
+    """Exact full-dataset potential + packed gradient
+    (reference `_exact_model_potential_and_grad`, inference_reject.py:18-33):
+    one `lax.scan` over all full batches (+ tail) accumulating per-batch
+    gradients — sum of gradients == gradient of the sum, constant memory.
+    Traceable; vmap over a leading chain axis for multi-chain boundaries.
+    Returns (loss, log_prior, potential, acc, grads, new_model_state)."""
+    idx_full = jnp.arange(n_full * batch_size).reshape(n_full, batch_size)
+    params = kernel.unpack(position)
+
+    def body(carry, idx):
+        g_acc, loss_acc, acc_acc, mstate = carry
+        xb = jnp.take(tx, idx, axis=0)
+        yb = jnp.take(ty, idx, axis=0)
+
+        def fn(p):
+            ll, new_state, fout = model.log_likelihood(
+                p, mstate, xb, yb, eff_num_data=1.0, train=True)
+            this_loss = -ll * (xb.shape[0] / eff_num_data)
+            acc = model.acc_fn(fout, yb, p)
+            return this_loss, (new_state, jnp.sum(acc))
+        (this_loss, (new_state, acc_sum)), g = jax.value_and_grad(
+            fn, has_aux=True)(params)
+        return (jax.tree_util.tree_map(jnp.add, g_acc, g),
+                loss_acc + this_loss, acc_acc + acc_sum,
+                new_state), None
+
+    g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+    carry = (g0, jnp.asarray(0.0, position.dtype),
+             jnp.asarray(0.0, position.dtype), model_state)
+    carry, _ = jax.lax.scan(body, carry, idx_full)
+    if tail:
+        idx_tail = jnp.arange(n_full * batch_size, N)
+        carry, _ = body(carry, idx_tail)
+    g_ll, loss, acc_sum, model_state = carry
+
+    def prior_fn(p):
+        return model.log_prior(p) / -eff_num_data
+    log_norm_prior, g_prior = jax.value_and_grad(prior_fn)(params)
+    log_prior = -log_norm_prior * eff_num_data
+    grads = kernel.pack(jax.tree_util.tree_map(jnp.add, g_ll, g_prior))
+    grads = jnp.clip(grads, -grad_max, grad_max)
+    potential = loss + log_norm_prior
+    return loss, log_prior, potential, acc_sum / N, grads, model_state
+
+
 class VerletSGLDRunnerReject(VerletSGLDRunner):
     def _make_kernel(self):
         return mcmc.VerletSGLD(num_data=self.eff_num_data,
@@ -66,46 +114,11 @@ class VerletSGLDRunnerReject(VerletSGLDRunner):
     # -- exact full-dataset gradient --------------------------------------
     def _exact_vg_impl(self, position, model_state, tx, ty):
         "traced body shared by the jitted wrapper and the boundary steps"
-        n_full, B, tail = self.n_full, self.batch_size, self.tail
-        idx_full = jnp.arange(n_full * B).reshape(n_full, B)
-        params = self.kernel.unpack(position)
-
-        def body(carry, idx):
-            g_acc, loss_acc, acc_acc, mstate = carry
-            xb = jnp.take(tx, idx, axis=0)
-            yb = jnp.take(ty, idx, axis=0)
-
-            def fn(p):
-                ll, new_state, fout = self.model.log_likelihood(
-                    p, mstate, xb, yb, eff_num_data=1.0, train=True)
-                this_loss = -ll * (xb.shape[0] / self.eff_num_data)
-                acc = self.model.acc_fn(fout, yb, p)
-                return this_loss, (new_state, jnp.sum(acc))
-            (this_loss, (new_state, acc_sum)), g = jax.value_and_grad(
-                fn, has_aux=True)(params)
-            return (jax.tree_util.tree_map(jnp.add, g_acc, g),
-                    loss_acc + this_loss, acc_acc + acc_sum,
-                    new_state), None
-
-        g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
-        carry = (g0, jnp.asarray(0.0, position.dtype),
-                 jnp.asarray(0.0, position.dtype), model_state)
-        carry, _ = jax.lax.scan(body, carry, idx_full)
-        if tail:
-            idx_tail = jnp.arange(n_full * B, self.N)
-            carry, _ = body(carry, idx_tail)
-        g_ll, loss, acc_sum, model_state = carry
-
-        def prior_fn(p):
-            return self.model.log_prior(p) / -self.eff_num_data
-        log_norm_prior, g_prior = jax.value_and_grad(prior_fn)(params)
-        log_prior = -log_norm_prior * self.eff_num_data
-        grads = self.kernel.pack(
-            jax.tree_util.tree_map(jnp.add, g_ll, g_prior))
-        grads = jnp.clip(grads, -self.grad_max, self.grad_max)
-        potential = loss + log_norm_prior
-        return (loss, log_prior, potential, acc_sum / self.N, grads,
-                model_state)
+        return exact_potential_and_grad(
+            self.model, self.kernel, position, model_state, tx, ty,
+            n_full=self.n_full, batch_size=self.batch_size, tail=self.tail,
+            N=self.N, eff_num_data=self.eff_num_data,
+            grad_max=self.grad_max)
 
     def _exact_vg(self, chain_position, model_state):
         """(loss, log_prior, potential, acc, grads, new_model_state) with
@@ -138,9 +151,17 @@ class VerletSGLDRunnerReject(VerletSGLDRunner):
                         chain, de, temperature)
                 else:
                     rejected = jnp.asarray(False)
+                # base potential for the NEXT segment's ΔE: on rejection the
+                # chain is rolled back to the saved state, whose potential is
+                # the OLD initial_potential. (The reference always uses the
+                # proposal's potential here — inference_reject.py:123 — which
+                # biases the acceptance test of the segment after a
+                # rejection; fixed deliberately.)
+                next_initial_pot = jnp.where(rejected, initial_potential, pot)
                 metrics = self._metric_dict(pot, {
                     "loss": loss, "acc": acc, "log_prior": log_prior}, lr, km)
-                return chain, model_state, metrics, pot, de, rejected
+                return (chain, model_state, metrics, pot, de, rejected,
+                        next_initial_pot)
             return f
         f = self._get_jit("boundary_final_exact", builder)
         dt = self.chain.position.dtype
@@ -229,12 +250,12 @@ class VerletSGLDRunnerReject(VerletSGLDRunner):
                 if self._is_sampling_epoch(epoch):
                     mstep += 1
                     (self.chain, self.model_state, metrics, pot, de,
-                     rejected) = self._boundary_final(
+                     rejected, next_pot) = self._boundary_final(
                         self.chain, self.model_state, lr_index - 1,
                         temperature, self._initial_potential)
                     de = float(de)
                     self._total_energy += de
-                    self._initial_potential = float(pot)
+                    self._initial_potential = float(next_pot)
                     self._log_row(
                         mstep,
                         {k: float(np.asarray(metrics[k])) for k in

@@ -1,4 +1,4 @@
 """Multi-chain parallelism over device meshes."""
 from .chains import (ChainMesh, init_chains, init_chains_diverse, make_mesh,
                      vmap_chains)
-from .multichain import MultiChainRunner
+from .multichain import MultiChainRunner, MultiChainRunnerReject

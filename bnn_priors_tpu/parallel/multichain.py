@@ -13,6 +13,7 @@ because chains never communicate (diagnostics aggregate post-hoc).
 from __future__ import annotations
 
 import math
+import warnings
 from typing import Dict, Optional
 
 import jax
@@ -21,6 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import mcmc
+from ..inference.reject import exact_potential_and_grad
 from ..inference.schedules import make_schedule
 from .chains import init_chains_diverse
 
@@ -29,6 +31,8 @@ class MultiChainRunner:
     """Cyclical SG-MCMC over K vmapped chains (descent/warmup/sampling
     phases, cosine cycles). Non-reject kernels (SGLD / VerletSGLD mid
     steps); per-chain temperatures enable tempering-curve sweeps."""
+
+    kernel_init_kwargs: dict = {}  # reject variants add save_state slots
 
     def __init__(self, model, train_data, n_chains, temperatures=1.0,
                  kernel="VerletSGLD", learning_rate=1e-2, momentum=0.994,
@@ -65,11 +69,16 @@ class MultiChainRunner:
 
         self.key = key if key is not None else jax.random.key(0)
         k_chains, self.key = jax.random.split(self.key)
-        kernel_cls = {"SGLD": mcmc.SGLD, "VerletSGLD": mcmc.VerletSGLD}[kernel]
-        self.kernel = kernel_cls(num_data=self.eff_num_data,
-                                 momentum=momentum)
-        self.states = init_chains_diverse(self.kernel, model, k_chains,
-                                          self.n_chains, dtype=dtype)
+        kernel_cls = {"SGLD": mcmc.SGLD, "VerletSGLD": mcmc.VerletSGLD,
+                      "HMC": mcmc.HMC}[kernel]
+        if kernel == "HMC":
+            self.kernel = mcmc.HMC(num_data=self.eff_num_data)
+        else:
+            self.kernel = kernel_cls(num_data=self.eff_num_data,
+                                     momentum=momentum)
+        self.states = init_chains_diverse(
+            self.kernel, model, k_chains, self.n_chains, dtype=dtype,
+            init_kwargs=self.kernel_init_kwargs)
         _, model_state = model.init(jax.random.key(0), dtype=dtype)
         self.model_states = jax.tree_util.tree_map(
             lambda v: jnp.broadcast_to(v, (self.n_chains,) + v.shape).copy(),
@@ -85,6 +94,7 @@ class MultiChainRunner:
         self.model_savers = model_savers
         self._samples = []
         self._epoch_fn = None
+        self.nan_chains: set = set()
 
     # -- jitted epoch ------------------------------------------------------
     def _build_epoch_fn(self):
@@ -132,7 +142,7 @@ class MultiChainRunner:
 
         return jax.jit(epoch)
 
-    def _epoch_idxs(self):
+    def _epoch_idxs(self, cycle=0, epoch=0):
         "(n_chains, n_full, B) independent permutations per chain"
         self.key, sub = jax.random.split(self.key)
         keys = jax.random.split(sub, self.n_chains)
@@ -160,13 +170,14 @@ class MultiChainRunner:
                 temps = jnp.where(epoch < self.descent_epochs,
                                   jnp.zeros_like(self.temperatures),
                                   self.temperatures)
-                idxs = self._epoch_idxs()
+                idxs = self._epoch_idxs(cycle, epoch)
                 self.states, self.model_states, ms = self._epoch_fn(
                     self.states, self.model_states, idxs,
                     jnp.asarray(step), temps, self.train_x, self.train_y)
                 step += self.n_full
                 metrics_hist.append(jax.tree_util.tree_map(
                     lambda a: np.asarray(a[-1]), ms))
+                self._check_finite(metrics_hist[-1]["potential"])
                 if (self.precond_update is not None
                         and epoch % self.precond_update == 0):
                     self.states = jax.vmap(self.kernel.update_preconditioner)(
@@ -180,6 +191,17 @@ class MultiChainRunner:
                              {k: np.asarray(v) for k, v in
                               self.model_states.items()}, step))
         return metrics_hist
+
+    def _check_finite(self, potentials):
+        """Reference parity (inference.py:221-222) adapted to many chains:
+        a NaN potential in one chain must not kill the independent others,
+        so warn (once per chain) instead of raising."""
+        bad = np.flatnonzero(~np.isfinite(np.asarray(potentials)))
+        for c in bad:
+            if c not in self.nan_chains:
+                self.nan_chains.add(int(c))
+                warnings.warn(f"chain {c}: potential is NaN/inf "
+                              "(diverged; its samples will be unusable)")
 
     def _stream_sample(self, step):
         positions = np.asarray(self.states.position)
@@ -218,3 +240,190 @@ class MultiChainRunner:
     def chain_samples(self, chain: int) -> Dict[str, np.ndarray]:
         bank = self.get_samples()
         return {k: v[:, chain] for k, v in bank.items()}
+
+
+class MultiChainRunnerReject(MultiChainRunner):
+    """The paper's main algorithm — GGMC with exact-gradient M-H boundaries
+    (`inference=VerletSGLDReject`, reference `inference_reject.py`) — over K
+    vmapped/mesh-sharded chains.
+
+    Everything the single-chain `VerletSGLDRunnerReject` does happens here
+    per chain, batched: the exact full-dataset boundary gradient is one
+    vmapped scan (K chains sweep the dataset together), `final_step` → ΔE →
+    `maybe_reject` → `initial_step` run under vmap so every chain
+    accepts/rejects INDEPENDENTLY (the rollback is a `jnp.where` over the
+    chain's saved state — impossible with the reference's CPU-copy
+    rollback), and minibatch order is fixed per (chain, cycle): each chain
+    revisits its own fixed order every epoch of a cycle
+    (inference_reject.py:68-84).
+
+    Temperatures may differ per chain, so a whole tempering grid of
+    exact-M-H chains is one program."""
+
+    kernel_init_kwargs = {"save_state": True}
+
+    def __init__(self, *args, reject_samples=True, **kwargs):
+        kwargs.setdefault("kernel", "VerletSGLD")
+        self._kernel_name = kwargs["kernel"]
+        assert self._kernel_name in ("VerletSGLD", "HMC", "SGLD")
+        if self._kernel_name == "SGLD":
+            reject_samples = False  # SGLD cannot reject (ΔE = ∞)
+        if not reject_samples:
+            self.kernel_init_kwargs = {}  # no rollback slots needed
+        self.reject_samples = reject_samples
+        super().__init__(*args, **kwargs)
+        if self._kernel_name == "HMC":
+            assert bool(jnp.all(self.temperatures == 1.0)), \
+                "HMC only implemented for temperature=1"
+        self._perm_key, self.key = jax.random.split(self.key)
+        self._chain_perm_keys = jax.random.split(self._perm_key,
+                                                 self.n_chains)
+        self.tail = self.N - self.n_full * self.batch_size > 0
+        self._initial_pots = None
+        self.delta_energies: list = []   # (n_chains,) per boundary
+        self.rejections: list = []       # (n_chains,) bool per boundary
+        self.boundary_metrics: list = []  # exact loss/log_prior/potential/acc
+        self._exact_fn = None
+        self._bfinal_fn = None
+        self._binit_fn = None
+
+    # -- fixed data order per (chain, cycle) --------------------------------
+    def _epoch_idxs(self, cycle=0, epoch=0):
+        def perm(k):
+            return jax.random.permutation(jax.random.fold_in(k, cycle),
+                                          self.N)
+        perms = jax.vmap(perm)(self._chain_perm_keys)
+        return perms[:, : self.n_full * self.batch_size].reshape(
+            self.n_chains, self.n_full, self.batch_size)
+
+    # -- vmapped exact gradient + boundaries ---------------------------------
+    def _exact_one(self, position, model_state, tx, ty):
+        return exact_potential_and_grad(
+            self.model, self.kernel, position, model_state, tx, ty,
+            n_full=self.n_full, batch_size=self.batch_size, tail=self.tail,
+            N=self.N, eff_num_data=self.eff_num_data, grad_max=self.grad_max)
+
+    def _build_exact_fn(self):
+        def f(states, model_states, tx, ty):
+            return jax.vmap(self._exact_one, in_axes=(0, 0, None, None))(
+                states.position, model_states, tx, ty)
+        return jax.jit(f)
+
+    def _build_bfinal_fn(self):
+        kernel = self.kernel
+        lr0, schedule = self.learning_rate, self.schedule
+
+        def one(state, model_state, temperature, initial_pot, lr, tx, ty):
+            loss, log_prior, pot, acc, g, model_state = self._exact_one(
+                state.position, model_state, tx, ty)
+            state, _ = kernel.final_step(state, g, lr, temperature,
+                                         calc_metrics=False)
+            de = kernel.delta_energy(state, g, lr, initial_pot, pot)
+            if self.reject_samples:
+                state, rejected, _ = kernel.maybe_reject(state, de,
+                                                         temperature)
+            else:
+                rejected = jnp.asarray(False)
+            # on rejection the chain returns to the saved state, whose
+            # potential is the old initial_pot (see inference/reject.py)
+            next_pot = jnp.where(rejected, initial_pot, pot)
+            m = {"loss": loss, "log_prior": log_prior, "potential": pot,
+                 "acc": acc}
+            return state, model_state, m, de, rejected, next_pot
+
+        def f(states, model_states, lr_index, temps, initial_pots, tx, ty):
+            lr = lr0 * schedule(lr_index)
+            return jax.vmap(one, in_axes=(0, 0, 0, 0, None, None, None))(
+                states, model_states, temps, initial_pots, lr, tx, ty)
+        return jax.jit(f)
+
+    def _build_binit_fn(self):
+        kernel = self.kernel
+        lr0, schedule = self.learning_rate, self.schedule
+        is_hmc = self._kernel_name == "HMC"
+
+        def one(state, temperature, lr):
+            if is_hmc:
+                state = kernel.sample_momentum(state, temperature)
+            state, _ = kernel.initial_step(state, state.grads, lr,
+                                           temperature,
+                                           save_state=self.reject_samples,
+                                           calc_metrics=False)
+            return state
+
+        def f(states, lr_index, temps):
+            lr = lr0 * schedule(lr_index)
+            return jax.vmap(one, in_axes=(0, 0, None))(states, temps, lr)
+        return jax.jit(f)
+
+    # -- main loop -----------------------------------------------------------
+    def run(self, progressbar=False):
+        if self._epoch_fn is None:
+            self._epoch_fn = self._build_epoch_fn()
+        if self._exact_fn is None:
+            self._exact_fn = self._build_exact_fn()
+            self._bfinal_fn = self._build_bfinal_fn()
+            self._binit_fn = self._build_binit_fn()
+
+        # initial exact gradient + momentum refresh + initial_step
+        (loss, log_prior, pot, acc, grads,
+         self.model_states) = self._exact_fn(
+            self.states, self.model_states, self.train_x, self.train_y)
+        self.states = self.states._replace(grads=grads)
+        self.states = self._sample_momentum_all()
+        self.states = self._binit_fn(self.states, jnp.asarray(0),
+                                     self.temperatures)
+        self._initial_pots = pot
+
+        step = 0
+        metrics_hist = []
+        it = range(self.cycles)
+        if progressbar:
+            import tqdm
+            it = tqdm.tqdm(it, desc="cycles")
+        for cycle in it:
+            for epoch in range(self.epochs_per_cycle):
+                temps = jnp.where(epoch < self.descent_epochs,
+                                  jnp.zeros_like(self.temperatures),
+                                  self.temperatures)
+                idxs = self._epoch_idxs(cycle, epoch)
+                self.states, self.model_states, ms = self._epoch_fn(
+                    self.states, self.model_states, idxs,
+                    jnp.asarray(step), temps, self.train_x, self.train_y)
+                step += self.n_full
+                metrics_hist.append(jax.tree_util.tree_map(
+                    lambda a: np.asarray(a[-1]), ms))
+                self._check_finite(metrics_hist[-1]["potential"])
+                if self._is_sampling_epoch(epoch):
+                    (self.states, self.model_states, bm, de, rejected,
+                     self._initial_pots) = self._bfinal_fn(
+                        self.states, self.model_states,
+                        jnp.asarray(step - 1), temps, self._initial_pots,
+                        self.train_x, self.train_y)
+                    self.delta_energies.append(np.asarray(de))
+                    self.rejections.append(np.asarray(rejected))
+                    self.boundary_metrics.append(jax.tree_util.tree_map(
+                        np.asarray, bm))
+                    # sample AFTER maybe_reject: stored samples are already
+                    # correctly rolled back (inference_reject.py:140-146)
+                    if self.model_savers is not None:
+                        self._stream_sample(step)
+                    else:
+                        self._samples.append(
+                            (np.asarray(self.states.position),
+                             {k: np.asarray(v) for k, v in
+                              self.model_states.items()}, step))
+                    self.states = self._binit_fn(
+                        self.states, jnp.asarray(step), temps)
+                if (self.precond_update is not None
+                        and (epoch + 1) % self.precond_update == 0):
+                    self.states = jax.vmap(self.kernel.update_preconditioner)(
+                        self.states)
+        return metrics_hist
+
+    def acceptance_rates(self) -> np.ndarray:
+        "(n_chains,) fraction of accepted M-H boundaries"
+        if not self.rejections:
+            return np.ones(self.n_chains)
+        rej = np.stack(self.rejections)
+        return 1.0 - rej.mean(axis=0)

@@ -38,7 +38,8 @@ DEFAULTS = dict(
     bias_prior_params={},
     temperatures=[0.001, 0.01, 0.03, 0.1, 0.3, 1.0],
     replicates=5,
-    inference="VerletSGLD",        # multichain kernels: SGLD | VerletSGLD
+    inference="VerletSGLD",  # SGLD | VerletSGLD | VerletSGLDReject |
+                             # HMCReject | SGLDReject (exact-gradient M-H)
     n_samples=300,
     cycles=60,
     burnin=0,
@@ -70,7 +71,8 @@ def main(cfg):
     from bnn_priors_tpu import exp_utils
     from bnn_priors_tpu.evaluate import evaluate_model
     from bnn_priors_tpu.io import HDF5ModelSaver, load_samples
-    from bnn_priors_tpu.parallel import MultiChainRunner
+    from bnn_priors_tpu.parallel import (MultiChainRunner,
+                                         MultiChainRunnerReject)
 
     data = exp_utils.get_data(cfg["data"])
     x_train = jnp.asarray(data.norm.train_X, dtype=jnp.float32)
@@ -122,10 +124,16 @@ def main(cfg):
         if cfg["save_samples"]:
             savers.append(HDF5ModelSaver(run.artifact("samples.pt")))
 
+    # reject variants: the paper's exact-gradient M-H algorithm per chain
+    reject_kernels = {"VerletSGLDReject": "VerletSGLD", "HMCReject": "HMC",
+                      "SGLDReject": "SGLD"}
+    is_reject = cfg["inference"] in reject_kernels
+    runner_cls = MultiChainRunnerReject if is_reject else MultiChainRunner
+    kernel_name = reject_kernels.get(cfg["inference"], cfg["inference"])
     try:
-        runner = MultiChainRunner(
+        runner = runner_cls(
             model, (x_train, y_train), n_chains=n_chains,
-            temperatures=chain_temps, kernel=cfg["inference"],
+            temperatures=chain_temps, kernel=kernel_name,
             learning_rate=cfg["lr"], momentum=cfg["momentum"],
             batch_size=cfg["batch_size"], cycles=cfg["cycles"],
             epochs_per_cycle=epochs_per_cycle, warmup_epochs=cfg["warmup"],
@@ -166,6 +174,8 @@ def main(cfg):
         eval_bank = {k: np.asarray(v)[skip_first:] for k, v in bank.items()}
         res = evaluate_model(model, (x_test, y_test), eval_bank)
         res.update(temperature=temps[t], replicate=r)
+        if is_reject:
+            res["acceptance"] = float(runner.acceptance_rates()[c])
         run.finish(res)
         results.append(res)
         print(json.dumps(res))
