@@ -153,7 +153,8 @@ def main(cfg):
                  for k in metrics_hist[0]}  # (n_epochs, n_chains)
     for c, run in enumerate(runs):
         with HDF5Metrics(run.artifact("metrics.h5")) as ms:
-            for e in range(per_epoch["potential"].shape[0]):
+            n_epochs = per_epoch["potential"].shape[0]
+            for e in range(n_epochs):
                 ms.add_scalar("potential", float(per_epoch["potential"][e, c]), e)
                 ms.add_scalar("acc", float(per_epoch["acc"][e, c]), e)
                 ms.add_scalar("est_temperature/all",
@@ -161,6 +162,20 @@ def main(cfg):
                 ms.add_scalar("est_config_temp/all",
                               float(per_epoch["est_config_temp"][e, c]), e)
                 ms.add_scalar("temperature", temps[c % len(temps)], e)
+            if is_reject:
+                # boundary rows (exact potential, ΔE, M-H outcome) appended
+                # after the epoch rows — feeds reject_samples_ + diagnostics
+                for b in range(len(runner.rejections)):
+                    i = n_epochs + b
+                    bm = runner.boundary_metrics[b]
+                    ms.add_scalar("potential", float(bm["potential"][c]), i)
+                    ms.add_scalar("loss", float(bm["loss"][c]), i)
+                    ms.add_scalar("log_prior", float(bm["log_prior"][c]), i)
+                    ms.add_scalar("delta_energy",
+                                  float(runner.delta_energies[b][c]), i)
+                    ms.add_scalar("acceptance/is_sample", 1, i)
+                    ms.add_scalar("acceptance/rejected",
+                                  int(runner.rejections[b][c]), i)
 
     results = []
     for c, run in enumerate(runs):
