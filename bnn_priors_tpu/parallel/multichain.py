@@ -155,18 +155,49 @@ class MultiChainRunner:
         se = epoch - (self.descent_epochs + self.warmup_epochs)
         return (0 <= se) and (se % self.skip == 0)
 
-    def run(self, progressbar=False):
+    # -- checkpoint/resume (io/checkpoint.py; all chains in one file) -------
+    def _checkpoint_meta(self, next_e, step):
+        return {"next_epoch_index": next_e, "step": step}
+
+    def _restore_meta(self, meta):
+        return int(meta["next_epoch_index"]), int(meta["step"])
+
+    def save_checkpoint(self, path, next_epoch_index, step):
+        """Snapshot ALL chains' full state (positions, momenta, RMSProp
+        EMAs, preconditioners, rollback slots, PRNG keys) + loop metadata.
+        In-memory sample history is NOT checkpointed — stream samples with
+        `model_savers` for resumable banks."""
+        from ..io import save_chain_checkpoint
+        save_chain_checkpoint(path, self.states, self.model_states, self.key,
+                              self._checkpoint_meta(next_epoch_index, step))
+
+    def restore_checkpoint(self, path):
+        "returns (next_epoch_index, step); trajectory continues bit-for-bit"
+        from ..io import load_chain_checkpoint
+        self.states, self.model_states, self.key, meta = \
+            load_chain_checkpoint(path, self.states, self.model_states,
+                                  self.key)
+        return self._restore_meta(meta)
+
+    def run(self, progressbar=False, resume_from=None, checkpoint_path=None,
+            checkpoint_every=None):
         if self._epoch_fn is None:
             self._epoch_fn = self._build_epoch_fn()
-        self.states = self._sample_momentum_all()
+        start_e = 0
         step = 0
+        if resume_from is not None:
+            start_e, step = self.restore_checkpoint(resume_from)
+        else:
+            self.states = self._sample_momentum_all()
         metrics_hist = []
-        it = range(self.cycles)
+        total_epochs = self.cycles * self.epochs_per_cycle
+        it = range(start_e, total_epochs)
         if progressbar:
             import tqdm
-            it = tqdm.tqdm(it, desc="cycles")
-        for cycle in it:
-            for epoch in range(self.epochs_per_cycle):
+            it = tqdm.tqdm(it, desc="epochs")
+        for e in it:
+            cycle, epoch = divmod(e, self.epochs_per_cycle)
+            if True:
                 temps = jnp.where(epoch < self.descent_epochs,
                                   jnp.zeros_like(self.temperatures),
                                   self.temperatures)
@@ -190,6 +221,9 @@ class MultiChainRunner:
                             (np.asarray(self.states.position),
                              {k: np.asarray(v) for k, v in
                               self.model_states.items()}, step))
+            if (checkpoint_path is not None and checkpoint_every is not None
+                    and (e + 1) % checkpoint_every == 0):
+                self.save_checkpoint(checkpoint_path, e + 1, step)
         return metrics_hist
 
     def _check_finite(self, potentials):
@@ -356,8 +390,30 @@ class MultiChainRunnerReject(MultiChainRunner):
             return jax.vmap(one, in_axes=(0, 0, None))(states, temps, lr)
         return jax.jit(f)
 
+    # -- checkpoint extras ---------------------------------------------------
+    def _checkpoint_meta(self, next_e, step):
+        meta = super()._checkpoint_meta(next_e, step)
+        meta["initial_pots"] = np.asarray(self._initial_pots)
+        meta["perm_key"] = np.asarray(jax.random.key_data(self._perm_key))
+        if self.rejections:
+            meta["rejections"] = np.stack(self.rejections)
+            meta["delta_energies"] = np.stack(self.delta_energies)
+        return meta
+
+    def _restore_meta(self, meta):
+        self._initial_pots = jnp.asarray(meta["initial_pots"])
+        self._perm_key = jax.random.wrap_key_data(
+            jnp.asarray(meta["perm_key"]))
+        self._chain_perm_keys = jax.random.split(self._perm_key,
+                                                 self.n_chains)
+        if "rejections" in meta:
+            self.rejections = list(np.asarray(meta["rejections"]))
+            self.delta_energies = list(np.asarray(meta["delta_energies"]))
+        return super()._restore_meta(meta)
+
     # -- main loop -----------------------------------------------------------
-    def run(self, progressbar=False):
+    def run(self, progressbar=False, resume_from=None, checkpoint_path=None,
+            checkpoint_every=None):
         if self._epoch_fn is None:
             self._epoch_fn = self._build_epoch_fn()
         if self._exact_fn is None:
@@ -365,24 +421,30 @@ class MultiChainRunnerReject(MultiChainRunner):
             self._bfinal_fn = self._build_bfinal_fn()
             self._binit_fn = self._build_binit_fn()
 
-        # initial exact gradient + momentum refresh + initial_step
-        (loss, log_prior, pot, acc, grads,
-         self.model_states) = self._exact_fn(
-            self.states, self.model_states, self.train_x, self.train_y)
-        self.states = self.states._replace(grads=grads)
-        self.states = self._sample_momentum_all()
-        self.states = self._binit_fn(self.states, jnp.asarray(0),
-                                     self.temperatures)
-        self._initial_pots = pot
-
+        start_e = 0
         step = 0
+        if resume_from is not None:
+            start_e, step = self.restore_checkpoint(resume_from)
+        else:
+            # initial exact gradient + momentum refresh + initial_step
+            (loss, log_prior, pot, acc, grads,
+             self.model_states) = self._exact_fn(
+                self.states, self.model_states, self.train_x, self.train_y)
+            self.states = self.states._replace(grads=grads)
+            self.states = self._sample_momentum_all()
+            self.states = self._binit_fn(self.states, jnp.asarray(0),
+                                         self.temperatures)
+            self._initial_pots = pot
+
         metrics_hist = []
-        it = range(self.cycles)
+        total_epochs = self.cycles * self.epochs_per_cycle
+        it = range(start_e, total_epochs)
         if progressbar:
             import tqdm
-            it = tqdm.tqdm(it, desc="cycles")
-        for cycle in it:
-            for epoch in range(self.epochs_per_cycle):
+            it = tqdm.tqdm(it, desc="epochs")
+        for e in it:
+            cycle, epoch = divmod(e, self.epochs_per_cycle)
+            if True:
                 temps = jnp.where(epoch < self.descent_epochs,
                                   jnp.zeros_like(self.temperatures),
                                   self.temperatures)
@@ -419,6 +481,9 @@ class MultiChainRunnerReject(MultiChainRunner):
                         and (epoch + 1) % self.precond_update == 0):
                     self.states = jax.vmap(self.kernel.update_preconditioner)(
                         self.states)
+            if (checkpoint_path is not None and checkpoint_every is not None
+                    and (e + 1) % checkpoint_every == 0):
+                self.save_checkpoint(checkpoint_path, e + 1, step)
         return metrics_hist
 
     def acceptance_rates(self) -> np.ndarray:

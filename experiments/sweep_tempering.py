@@ -52,6 +52,8 @@ DEFAULTS = dict(
     batch_size=128,
     batchnorm=True,
     n_devices=None,                # chains mesh axis size (None = all)
+    checkpoint_every=None,         # epochs between full chain-state snapshots
+    resume_from=None,              # checkpoint path: continue bit-for-bit
     device="tpu",
     seed=0,
     save_samples=True,
@@ -141,7 +143,12 @@ def main(cfg):
             precond_update=cfg["precond_update"], mesh=mesh,
             key=jax.random.key(cfg["seed"]), augment_fn=augment_fn,
             model_savers=savers or None)
-        metrics_hist = runner.run(progressbar=cfg["progressbar"])
+        ckpt = (str(Path(cfg["log_dir"]) / "sweep_checkpoint.npz")
+                if cfg["checkpoint_every"] else None)
+        metrics_hist = runner.run(progressbar=cfg["progressbar"],
+                                  checkpoint_path=ckpt,
+                                  checkpoint_every=cfg["checkpoint_every"],
+                                  resume_from=cfg["resume_from"])
     finally:
         for s in savers:
             s.close()
@@ -149,11 +156,13 @@ def main(cfg):
     # per-chain metrics.h5 (epoch-end diagnostics): feeds the tempering
     # plots (plot.temperature_stderr on the /all aggregates) + collect_runs
     from bnn_priors_tpu.io import HDF5Metrics
+    # metrics_hist may be empty when resuming at/after the final epoch
     per_epoch = {k: np.stack([np.asarray(m[k]) for m in metrics_hist])
-                 for k in metrics_hist[0]}  # (n_epochs, n_chains)
+                 for k in (metrics_hist[0] if metrics_hist else ())}
     for c, run in enumerate(runs):
         with HDF5Metrics(run.artifact("metrics.h5")) as ms:
-            n_epochs = per_epoch["potential"].shape[0]
+            n_epochs = (per_epoch["potential"].shape[0]
+                        if per_epoch else 0)
             for e in range(n_epochs):
                 ms.add_scalar("potential", float(per_epoch["potential"][e, c]), e)
                 ms.add_scalar("acc", float(per_epoch["acc"][e, c]), e)
@@ -164,18 +173,21 @@ def main(cfg):
                 ms.add_scalar("temperature", temps[c % len(temps)], e)
             if is_reject:
                 # boundary rows (exact potential, ΔE, M-H outcome) appended
-                # after the epoch rows — feeds reject_samples_ + diagnostics
-                for b in range(len(runner.rejections)):
+                # after the epoch rows — feeds reject_samples_ + diagnostics.
+                # After a resume, rejected/ΔE history is restored from the
+                # checkpoint but the exact-loss metrics only exist for the
+                # boundaries run in THIS process — align from the tail.
+                off = len(runner.rejections) - len(runner.boundary_metrics)
+                for b, bm in enumerate(runner.boundary_metrics):
                     i = n_epochs + b
-                    bm = runner.boundary_metrics[b]
                     ms.add_scalar("potential", float(bm["potential"][c]), i)
                     ms.add_scalar("loss", float(bm["loss"][c]), i)
                     ms.add_scalar("log_prior", float(bm["log_prior"][c]), i)
                     ms.add_scalar("delta_energy",
-                                  float(runner.delta_energies[b][c]), i)
+                                  float(runner.delta_energies[off + b][c]), i)
                     ms.add_scalar("acceptance/is_sample", 1, i)
                     ms.add_scalar("acceptance/rejected",
-                                  int(runner.rejections[b][c]), i)
+                                  int(runner.rejections[off + b][c]), i)
 
     results = []
     for c, run in enumerate(runs):
@@ -184,6 +196,13 @@ def main(cfg):
             bank = load_samples(str(run.dir / "samples.pt"))
         else:
             bank = runner.chain_samples(c)
+        if not bank or next(iter(bank.values())).shape[0] == 0:
+            # e.g. resumed at/after the final epoch: nothing new sampled
+            res = {"n_samples": 0, "temperature": temps[t], "replicate": r}
+            run.finish(res)
+            results.append(res)
+            print(json.dumps(res))
+            continue
         skip_first = min(cfg["skip_first"],
                          next(iter(bank.values())).shape[0] - 1)
         eval_bank = {k: np.asarray(v)[skip_first:] for k, v in bank.items()}
