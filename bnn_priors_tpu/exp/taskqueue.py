@@ -162,6 +162,15 @@ class TaskQueue:
                 break
             if self.state(t) != "waiting" or not self._claim(t):
                 continue
+            # Double-check under the lock: another worker may have claimed,
+            # finished, and removed its lock between our state check and our
+            # claim — its result.json is the durable record of that.
+            res = self._dir(t) / "result.json"
+            if res.exists():
+                with open(res) as f:
+                    if json.load(f)["status"] != "waiting":
+                        self._lock(t).unlink(missing_ok=True)
+                        continue
             if verbose:
                 print(f"[taskqueue] running {t.describe()}", flush=True)
             try:
