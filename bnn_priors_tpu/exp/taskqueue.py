@@ -106,11 +106,20 @@ class TaskQueue:
     def _lock(self, t: Task) -> Path:
         return self.jugdir / f"{t.name}-{t.hash}.lock"
 
+    def _result_status(self, t: Task) -> Optional[str]:
+        """Status from the durable result record, or None if there is no
+        readable record (missing, being invalidated, or torn read on a
+        shared filesystem — all mean "no durable record yet")."""
+        try:
+            with open(self._dir(t) / "result.json") as f:
+                return json.load(f)["status"]  # "done"|"failed"|"waiting"
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
     def state(self, t: Task) -> str:
-        d = self._dir(t)
-        if (d / "result.json").exists():
-            with open(d / "result.json") as f:
-                return json.load(f)["status"]  # "done" | "failed"
+        status = self._result_status(t)
+        if status is not None:
+            return status
         if self._lock(t).exists():
             return "running"
         return "waiting"
@@ -157,6 +166,7 @@ class TaskQueue:
         """Worker loop: claim + run every waiting task (jug execute).
         Returns the number of tasks this worker completed."""
         ran = 0
+        done = 0
         for t in self.tasks:
             if max_tasks is not None and ran >= max_tasks:
                 break
@@ -165,14 +175,13 @@ class TaskQueue:
             # Double-check under the lock: another worker may have claimed,
             # finished, and removed its lock between our state check and our
             # claim — its result.json is the durable record of that.
-            res = self._dir(t) / "result.json"
-            if res.exists():
-                with open(res) as f:
-                    if json.load(f)["status"] != "waiting":
-                        self._lock(t).unlink(missing_ok=True)
-                        continue
+            status = self._result_status(t)
+            if status is not None and status != "waiting":
+                self._lock(t).unlink(missing_ok=True)
+                continue
             if verbose:
                 print(f"[taskqueue] running {t.describe()}", flush=True)
+            ran += 1  # counts executions (incl. failures) toward max_tasks
             try:
                 result = t.fn(*t.args, **t.kwargs)
             except Exception as e:  # noqa: BLE001 — record, don't kill the worker
@@ -182,8 +191,8 @@ class TaskQueue:
                     print(f"[taskqueue] FAILED {t.describe()}: {e}", flush=True)
             else:
                 self._finish(t, "done", result=result)
-                ran += 1
-        return ran
+                done += 1
+        return done
 
     def barrier(self):
         """All tasks declared so far must be done before the script may

@@ -123,3 +123,59 @@ def test_task_identity_is_stable(tmp_path):
     assert q2.status()["done"] == 20
     assert q2.execute(verbose=False) == 0
     assert log2 == []
+
+
+def test_post_claim_double_check(tmp_path, monkeypatch):
+    """The claim/finish race deterministically: a task that gains a durable
+    'done' record between the state check and the claim must not re-run."""
+    log = []
+    q = make_queue(tmp_path, log)
+    t0 = q.tasks[0]
+
+    real_state = q.state
+    fired = {"n": 0}
+
+    def racy_state(t):
+        st = real_state(t)
+        if t is t0 and st == "waiting" and fired["n"] == 0:
+            # simulate a fast peer: claim+finish+unlock between our state
+            # check and our claim attempt
+            fired["n"] = 1
+            q._finish(t0, "done", result=999)
+        return st
+
+    monkeypatch.setattr(q, "state", racy_state)
+    assert q.execute(verbose=False) == 19  # t0 skipped, 19 others run
+    assert sorted(log) == list(range(1, 20))  # t0's fn never executed
+    assert not q._lock(t0).exists()  # the dead claim's lock was released
+    assert q.result(t0) == 999
+
+
+def test_unreadable_result_record_is_no_record(tmp_path):
+    "a torn/deleted result.json reads as 'no durable record', not a crash"
+    log = []
+    q = make_queue(tmp_path, log)
+    t0 = q.tasks[0]
+    d = q._dir(t0)
+    d.mkdir(parents=True, exist_ok=True)
+    (d / "result.json").write_text("{not json")  # torn read
+    assert q.state(t0) == "waiting"
+    assert q.execute(verbose=False) == 20  # overwrites the torn record
+    assert q.result(t0) == 0
+
+
+def test_max_tasks_bounds_failures_too(tmp_path):
+    "max_tasks time-boxes executions, not merely successes"
+    q = TaskQueue(tmp_path / "jugdir")
+    calls = []
+
+    @q.generator
+    def boom(i):
+        calls.append(i)
+        raise ValueError(i)
+
+    for i in range(10):
+        boom(i)
+    assert q.execute(max_tasks=3, verbose=False) == 0  # 0 completed...
+    assert len(calls) == 3  # ...but only 3 executed
+    assert q.status()["failed"] == 3
