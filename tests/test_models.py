@@ -191,3 +191,48 @@ def test_sample_all_priors():
     params, _ = model.init(KEY)
     new = model.sample_all_priors(jax.random.key(9), params)
     assert not np.allclose(np.asarray(new["0.p"]), np.asarray(params["0.p"]))
+
+
+# Every model name the reference's get_model dispatch accepts
+# (reference exp_utils.py:108-234) must build, init, and produce a finite
+# potential+gradient through our registry.
+REGISTRY_MODELS = [
+    "densenet", "raobdensenet", "classificationdensenet",
+    "classificationconvnet", "correlatedclassificationconvnet",
+    "datadrivengaussconv", "datadrivendoublegammaconv",
+    "resnet18", "vwidth_resnet18", "datadriven_resnet18",
+    "vwidth_datadriven_resnet18", "thin_resnet18", "resnet34",
+    "googleresnet", "datadriven_mvt_googleresnet",
+    "decreasing_mvt_googleresnet", "correlatedgoogleresnet",
+    "linear", "logistic", "raob_linear", "test_gaussian",
+]
+_DENSE = {"densenet", "raobdensenet", "linear", "raob_linear",
+          "test_gaussian"}
+_DENSE_CLS = {"classificationdensenet", "logistic"}
+
+
+@pytest.mark.parametrize("name", REGISTRY_MODELS)
+def test_model_registry_complete(name):
+    from bnn_priors_tpu import exp_utils
+    rng = np.random.RandomState(0)
+    if name in _DENSE:
+        x = rng.randn(4, 10)
+        y = rng.randn(4, 1)
+    elif name in _DENSE_CLS:
+        x = rng.randn(4, 10)
+        y = rng.randint(0, 2, 4)
+    else:
+        x = rng.randn(4, 3, 32, 32)
+        y = rng.randint(0, 10, 4)
+    model = exp_utils.get_model(
+        x, y, model=name, width=16, depth=3,
+        weight_prior="gaussian", weight_loc=0.0, weight_scale=1.41,
+        bias_prior="gaussian", bias_loc=0.0, bias_scale=1.0,
+        batchnorm=True, weight_prior_params={}, bias_prior_params={})
+    params, state = model.init(KEY)
+    fn = model.potential_avg_fn(state, jnp.asarray(x), jnp.asarray(y),
+                                eff_num_data=float(len(x)), train=True)
+    (pot, _), grads = jax.value_and_grad(fn, has_aux=True)(params)
+    assert np.isfinite(float(pot))
+    for k, g in grads.items():
+        assert np.all(np.isfinite(np.asarray(g))), k
