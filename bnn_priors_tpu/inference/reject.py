@@ -97,6 +97,7 @@ class VerletSGLDRunnerReject(VerletSGLDRunner):
 
     def save_checkpoint(self, path, next_epoch_index, step, extra=None):
         extra = dict(extra or {})
+        extra["precond_pending"] = getattr(self, "_precond_pending", False)
         if hasattr(self, "_perm_key"):
             # the fixed per-cycle permutation key is drawn lazily; persist
             # it so resumed runs revisit data in the identical order
@@ -191,9 +192,12 @@ class VerletSGLDRunnerReject(VerletSGLDRunner):
         mstep = 0  # metrics step counter (batches + boundaries)
         lr_index = 0
         start_e = 0
+        self._precond_pending = False  # precond update owed to next boundary
         if resume_from is not None:
             start_e, lr_index = self.restore_checkpoint(resume_from)
             mstep = int(self._ckpt_meta.get("mstep", lr_index))
+            self._precond_pending = bool(
+                self._ckpt_meta.get("precond_pending", False))
         else:
             # initial exact-gradient step (inference_reject.py:56-66)
             loss, log_prior, pot, acc, grads, self.model_state = \
@@ -221,74 +225,87 @@ class VerletSGLDRunnerReject(VerletSGLDRunner):
         for e in iterator:
             cycle, epoch = divmod(e, self.epochs_per_cycle)
             t_epoch = time.time()
-            if True:
-                temperature = (0.0 if epoch < self.descent_epochs
-                               else self.temperature)
-                perm = self._epoch_perm(cycle, epoch)
-                idx_full = perm[: self.n_full * self.batch_size].reshape(
-                    self.n_full, self.batch_size)
-                chain, model_state, ms = self._scan_steps(
-                    self.chain, self.model_state, lr_index, idx_full,
+            temperature = (0.0 if epoch < self.descent_epochs
+                           else self.temperature)
+            perm = self._epoch_perm(cycle, epoch)
+            idx_full = perm[: self.n_full * self.batch_size].reshape(
+                self.n_full, self.batch_size)
+            chain, model_state, ms = self._scan_steps(
+                self.chain, self.model_state, lr_index, idx_full,
+                temperature)
+            n_steps = self.n_full
+            if self.tail:
+                idx_tail = perm[self.n_full * self.batch_size:]
+                chain, model_state, m = self._single_step(
+                    chain, model_state, lr_index + self.n_full, idx_tail,
                     temperature)
-                n_steps = self.n_full
-                if self.tail:
-                    idx_tail = perm[self.n_full * self.batch_size:]
-                    chain, model_state, m = self._single_step(
-                        chain, model_state, lr_index + self.n_full, idx_tail,
-                        temperature)
-                    ms = jax.tree_util.tree_map(
-                        lambda a, b: jnp.concatenate(
-                            [a, jnp.asarray(b)[None]]), ms, m)
-                    n_steps += 1
-                self.chain, self.model_state = chain, model_state
-                if not np.all(np.isfinite(np.asarray(ms["potential"]))):
-                    raise ValueError("Potential is NaN")
-                self._log_scan_metrics(mstep + 1, ms)
-                mstep += n_steps
-                lr_index += n_steps
+                ms = jax.tree_util.tree_map(
+                    lambda a, b: jnp.concatenate(
+                        [a, jnp.asarray(b)[None]]), ms, m)
+                n_steps += 1
+            self.chain, self.model_state = chain, model_state
+            if not np.all(np.isfinite(np.asarray(ms["potential"]))):
+                raise ValueError("Potential is NaN")
+            self._log_scan_metrics(mstep + 1, ms)
+            mstep += n_steps
+            lr_index += n_steps
 
-                if self._is_sampling_epoch(epoch):
-                    mstep += 1
-                    (self.chain, self.model_state, metrics, pot, de,
-                     rejected, next_pot) = self._boundary_final(
-                        self.chain, self.model_state, lr_index - 1,
-                        temperature, self._initial_potential)
-                    de = float(de)
-                    self._total_energy += de
-                    self._initial_potential = float(next_pot)
-                    self._log_row(
-                        mstep,
-                        {k: float(np.asarray(metrics[k])) for k in
-                         ("loss", "log_prior", "potential", "acc", "lr")},
-                        {"est_temperature": metrics["est_temperature"],
-                         "est_config_temp": metrics["est_config_temp"]},
-                        corresponds_to_sample=True, delta_energy=de,
-                        total_energy=self._total_energy,
-                        rejected=(bool(rejected) if self.reject_samples
-                                  else None))
-                    self._evaluate_and_log(mstep)
-                    self._save_sample(mstep)
-                    self.chain = self._boundary_initial(
-                        self.chain, lr_index, temperature)
-                else:
-                    self._evaluate_and_log(mstep)
-
-                if (self.precond_update is not None
-                        and (epoch + 1) % self.precond_update == 0):
-                    self.chain = self.kernel.update_preconditioner(self.chain)
-                if self.metrics_saver is not None:
-                    epoch_s = time.time() - t_epoch
-                    self.metrics_saver.add_scalar(
-                        "timings/epoch_s", epoch_s, mstep)
-                    self.metrics_saver.add_scalar(
-                        "timings/steps_per_s",
-                        n_steps / max(epoch_s, 1e-9), mstep)
-                    self.metrics_saver.flush(every_s=30, keep_last_row=True)
-                if (self.checkpoint_path is not None
-                        and self.checkpoint_every is not None
-                        and (e + 1) % self.checkpoint_every == 0):
-                    self.save_checkpoint(self.checkpoint_path, e + 1,
-                                         lr_index, extra={"mstep": mstep})
+            precond_due = (self.precond_update is not None
+                           and (epoch + 1) % self.precond_update == 0)
+            if self._is_sampling_epoch(epoch):
+                mstep += 1
+                (self.chain, self.model_state, metrics, pot, de,
+                 rejected, next_pot) = self._boundary_final(
+                    self.chain, self.model_state, lr_index - 1,
+                    temperature, self._initial_potential)
+                de = float(de)
+                self._total_energy += de
+                self._initial_potential = float(next_pot)
+                self._log_row(
+                    mstep,
+                    {k: float(np.asarray(metrics[k])) for k in
+                     ("loss", "log_prior", "potential", "acc", "lr")},
+                    {"est_temperature": metrics["est_temperature"],
+                     "est_config_temp": metrics["est_config_temp"]},
+                    corresponds_to_sample=True, delta_energy=de,
+                    total_energy=self._total_energy,
+                    rejected=(bool(rejected) if self.reject_samples
+                              else None))
+                self._evaluate_and_log(mstep)
+                self._save_sample(mstep)
+                # Preconditioner updates apply ONLY between segments —
+                # after maybe_reject, before the next initial_step — so
+                # M is constant within every M-H proposal segment and ΔE
+                # is the segment's true energy change. (The reference
+                # updates after the boundary's initial_step,
+                # inference_reject.py:167-168, mixing old-M and new-M
+                # terms in the next acceptance test; with the paper's
+                # skip=1, precond_update=1 the cadence here is
+                # identical, only the placement is exact.)
+                if precond_due or self._precond_pending:
+                    self.chain = self.kernel.update_preconditioner(
+                        self.chain)
+                    self._precond_pending = False
+                self.chain = self._boundary_initial(
+                    self.chain, lr_index, temperature)
+            else:
+                self._evaluate_and_log(mstep)
+                if precond_due:
+                    # defer to the next segment boundary
+                    self._precond_pending = True
+            if self.metrics_saver is not None:
+                epoch_s = time.time() - t_epoch
+                self.metrics_saver.add_scalar(
+                    "timings/epoch_s", epoch_s, mstep)
+                self.metrics_saver.add_scalar(
+                    "timings/steps_per_s",
+                    n_steps / max(epoch_s, 1e-9), mstep)
+                self.metrics_saver.flush(every_s=30, keep_last_row=True)
+            if (self.checkpoint_path is not None
+                    and self.checkpoint_every is not None
+                    and (e + 1) % self.checkpoint_every == 0):
+                self.save_checkpoint(self.checkpoint_path, e + 1,
+                                     lr_index, extra={"mstep": mstep})
         if self.metrics_saver is not None:
             self.metrics_saver.flush()
 
@@ -331,21 +348,29 @@ class VerletSGLDRunnerReject(VerletSGLDRunner):
             return
         est_t = np.asarray(ms["est_temperature"])
         est_c = np.asarray(ms["est_config_temp"])
+        de_wo_pot = (np.asarray(ms["de_wo_pot"])
+                     if "de_wo_pot" in ms else None)
+        loss = np.asarray(ms["loss"])
         n = est_t.shape[0]
         for i in range(n):
             index = base_index + i
             if index % self.metrics_skip != 0:
                 continue
+            de_i = total_i = None
+            if de_wo_pot is not None:
+                # reference inference.py:352-354: per-step energy drift
+                # within the current segment, using `loss` as the potential
+                de_i = float(de_wo_pot[i]) + (
+                    float(loss[i]) - self._initial_potential
+                ) * self.kernel.num_data
+                total_i = self._total_energy + de_i
             self._log_row(
                 index,
                 {k: float(np.asarray(ms[k])[i]) for k in
                  ("loss", "log_prior", "potential", "acc", "lr")},
                 {"est_temperature": est_t[i], "est_config_temp": est_c[i]},
-                corresponds_to_sample=False)
-
-    def _save_sample(self, step):
-        super()._save_sample(step)
-
+                corresponds_to_sample=False, delta_energy=de_i,
+                total_energy=total_i)
 
 class HMCRunnerReject(VerletSGLDRunnerReject):
     def _make_kernel(self):

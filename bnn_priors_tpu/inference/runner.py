@@ -109,7 +109,8 @@ class SGLDRunner:
             steps_per_stair=150 * self.steps_per_epoch)
 
         self.key = key if key is not None else jax.random.key(0)
-        k_init, k_chain, self.key = jax.random.split(self.key, 3)
+        k_init, k_chain, self._aug_key, self.key = jax.random.split(
+            self.key, 4)
         if init_params is None:
             init_params, model_state = model.init(k_init)
             if init_model_state is None:
@@ -151,7 +152,11 @@ class SGLDRunner:
         `tx`/`ty` are the train arrays as TRACED arguments — closing over
         them would bake 100s of MB of constants into the HLO."""
         chain, model_state, step = carry
-        key_aug = jax.random.fold_in(jax.random.key(1), step) \
+        # augmentation noise: per-step stream derived from the RUNNER's seed
+        # (a fixed key here would correlate augmentations across replicate
+        # runs with different seeds); fold_in(step) keeps it deterministic
+        # per step so resumed runs replay identical augmentations
+        key_aug = jax.random.fold_in(self._aug_key, step) \
             if self.augment_fn is not None else None
         xb = jnp.take(tx, idx, axis=0)
         yb = jnp.take(ty, idx, axis=0)
@@ -472,6 +477,8 @@ class SGLDRunner:
             if boundary_metrics.get("rejected") is not None:
                 add("acceptance/rejected",
                     int(boundary_metrics["rejected"]), li)
+        de_wo_pot = (np.asarray(metrics["de_wo_pot"])
+                     if "de_wo_pot" in metrics else None)
         for i in range(n_steps):
             step = step0 + i
             # metrics of step t are logged under index t-1, like the
@@ -493,6 +500,16 @@ class SGLDRunner:
                 add(k, float(v[i]), li)
             add("acceptance/is_sample",
                 int(corresponds_to_sample and i == 0), li)
+            # per-step energy drift, like the reference's intermediate-step
+            # `delta_energy(initial_potential, loss)` (inference.py:352-354;
+            # NB the reference passes `loss`, not `potential`, here — kept);
+            # the boundary row (i==0 with boundary_metrics) was logged above
+            if de_wo_pot is not None and not (boundary_metrics and i == 0):
+                de_i = float(de_wo_pot[i]) + (
+                    float(scalars["loss"][i]) - self._initial_potential
+                ) * self.kernel.num_data
+                add("delta_energy", de_i, li)
+                add("total_energy", self._total_energy + de_i, li)
 
 
 class VerletSGLDRunner(SGLDRunner):
@@ -501,6 +518,21 @@ class VerletSGLDRunner(SGLDRunner):
     def _make_kernel(self):
         return mcmc.VerletSGLD(num_data=self.eff_num_data,
                                momentum=self.momentum)
+
+    def _plain_step(self, carry, idx, temperature, tx, ty):
+        """Intermediate GGMC step + the potential-free part of the running
+        ΔE: the reference logs `delta_energy(initial_potential, loss)` at
+        every metrics step (inference.py:352-354); the accumulator and point
+        energy are on-device, the potential-difference term is added at log
+        time on the host."""
+        carry, metrics = super()._plain_step(carry, idx, temperature, tx, ty)
+        chain = carry[0]
+        # SGLDRunnerReject inherits this with an SGLD kernel, which carries
+        # no energy accumulator (ΔE = ∞, reference sgld.py:54-55)
+        if isinstance(self.kernel, mcmc.VerletSGLD):
+            metrics["de_wo_pot"] = chain.delta_energy_acc + \
+                self.kernel._point_energy(chain, chain.grads, metrics["lr"])
+        return carry, metrics
 
     def _init_kwargs(self):
         return {"save_state": self.reject_samples}
@@ -515,8 +547,7 @@ class VerletSGLDRunner(SGLDRunner):
         B = idx.shape[0]
 
         def builder_first():
-            def f(chain, model_state, step, idx, temperature, key_mom,
-                  tx, ty):
+            def f(chain, model_state, step, idx, temperature, tx, ty):
                 xb = jnp.take(tx, idx, axis=0)
                 yb = jnp.take(ty, idx, axis=0)
                 pot, aux, model_state, g = self._value_grad_of_batch(
@@ -528,7 +559,7 @@ class VerletSGLDRunner(SGLDRunner):
                     chain, g, lr, temperature,
                     save_state=self.reject_samples)
                 de = self.kernel.delta_energy(chain, g, lr, 0.0, 0.0)
-                metrics = self._metric_dict(pot, aux, lr, km)
+                metrics = self._metric_dict(pot, aux, lr, km, chain, g)
                 return chain, model_state, metrics, pot, de
             return f
 
@@ -555,17 +586,17 @@ class VerletSGLDRunner(SGLDRunner):
                 chain, _ = self.kernel.initial_step(
                     chain, chain.grads, lr, temperature,
                     save_state=self.reject_samples)
-                metrics = self._metric_dict(pot, aux, lr, km)
+                metrics = self._metric_dict(pot, aux, lr, km, chain,
+                                            chain.grads)
                 return chain, model_state, metrics, pot, de, rejected
             return f
 
         dt = self.chain.position.dtype
         if kind == "first":
             f = self._get_jit(("boundary_first", B), builder_first)
-            k_mom, self.key = jax.random.split(self.key)
             chain, model_state, metrics, pot, de = f(
                 chain, model_state, jnp.asarray(step), idx,
-                jnp.asarray(temperature, dt), k_mom,
+                jnp.asarray(temperature, dt),
                 self.train_x, self.train_y)
             self._initial_potential = float(pot)
             self._total_energy = 0.0
@@ -579,15 +610,22 @@ class VerletSGLDRunner(SGLDRunner):
                 jnp.asarray(temperature, dt),
                 jnp.asarray(self._initial_potential, dt),
                 self.train_x, self.train_y)
-            self._initial_potential = float(pot)
+            # base potential for the next segment's ΔE: on rejection the
+            # chain rolled back to the saved state, whose potential is the
+            # OLD initial_potential. (The reference overwrites it with the
+            # rejected proposal's potential — inference.py:344-346 — biasing
+            # the segment after a rejection; fixed deliberately, same as
+            # reject.py and parallel/multichain.py.)
+            if not (self.reject_samples and bool(rejected)):
+                self._initial_potential = float(pot)
             self._total_energy += float(de)
             return chain, model_state, metrics, {
                 "delta_energy": float(de),
                 "total_energy": self._total_energy,
                 "rejected": (bool(rejected) if self.reject_samples else None)}
 
-    def _metric_dict(self, pot, aux, lr, km):
-        return {
+    def _metric_dict(self, pot, aux, lr, km, chain=None, g=None):
+        out = {
             "loss": aux["loss"], "acc": aux["acc"],
             "log_prior": aux["log_prior"], "potential": pot, "lr": lr,
             "est_temperature": self.kernel.packer.pack_leaf_scalars(
@@ -595,6 +633,13 @@ class VerletSGLDRunner(SGLDRunner):
             "est_config_temp": self.kernel.packer.pack_leaf_scalars(
                 km["est_config_temp"]),
         }
+        if chain is not None:
+            # same key as _plain_step so boundary and scan metrics share a
+            # pytree structure (they are concatenated per epoch); the
+            # boundary row's logged ΔE comes from boundary_metrics instead
+            out["de_wo_pot"] = chain.delta_energy_acc + \
+                self.kernel._point_energy(chain, g, lr)
+        return out
 
 
 class HMCRunner(VerletSGLDRunner):

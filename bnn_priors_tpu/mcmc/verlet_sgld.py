@@ -179,10 +179,19 @@ class VerletSGLD(SGLD):
         return (state.delta_energy_acc + pe
                 + (potential - prev_potential) * self.num_data)
 
-    def maybe_reject(self, state: VerletSGLDState, delta_energy, temperature):
+    def maybe_reject(self, state: VerletSGLDState, delta_energy, temperature,
+                     flip_on_reject: bool = False):
         """M-H test; on rejection roll back (position, momentum, grads) from
         `state.saved` (verlet_sgld.py:49-70). Under vmap every chain
-        decides independently. Returns (state, rejected, log_accept_prob)."""
+        decides independently. Returns (state, rejected, log_accept_prob).
+
+        `flip_on_reject` negates the restored momentum on rejection, as
+        GHMC-style detailed balance over persistent-momentum trajectories
+        requires (Horowitz 1991). The reference restores the forward
+        momentum unflipped (verlet_sgld.py:62-69), leaving an
+        O(rejection-rate) reversibility bias for momentum ∈ (0,1); the
+        default keeps that parity (and is exactly correct whenever momentum
+        is fully refreshed at boundaries, e.g. HMC)."""
         assert state.saved is not None, "init(..., save_state=True) required"
         key, sub = jax.random.split(state.key)
         log_accept_prob = -delta_energy / temperature
@@ -190,6 +199,8 @@ class VerletSGLD(SGLD):
         reject = jnp.logical_and(jnp.asarray(temperature) > 0.0,
                                  jnp.log(u) > log_accept_prob)
         saved_pos, saved_mom, saved_grads = state.saved
+        if flip_on_reject:
+            saved_mom = -saved_mom
         return (state._replace(
             position=jnp.where(reject, saved_pos, state.position),
             momentum=jnp.where(reject, saved_mom, state.momentum),

@@ -36,8 +36,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Packed vectors are padded to a multiple of this (8 f32 sublanes × 128
-# lanes) so the (T//128, 128) view is tile-aligned.
-PACK_ALIGN = 1024
+# lanes) so the (T//128, 128) view is tile-aligned. Single source of truth:
+# the Packer pads to this same constant.
+from ..mcmc.packing import PACK_ALIGN
 
 _TWO_PI = 2.0 * math.pi
 _INV_2_24 = 1.0 / 16777216.0  # 2^-24

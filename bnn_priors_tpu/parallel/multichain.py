@@ -197,30 +197,29 @@ class MultiChainRunner:
             it = tqdm.tqdm(it, desc="epochs")
         for e in it:
             cycle, epoch = divmod(e, self.epochs_per_cycle)
-            if True:
-                temps = jnp.where(epoch < self.descent_epochs,
-                                  jnp.zeros_like(self.temperatures),
-                                  self.temperatures)
-                idxs = self._epoch_idxs(cycle, epoch)
-                self.states, self.model_states, ms = self._epoch_fn(
-                    self.states, self.model_states, idxs,
-                    jnp.asarray(step), temps, self.train_x, self.train_y)
-                step += self.n_full
-                metrics_hist.append(jax.tree_util.tree_map(
-                    lambda a: np.asarray(a[-1]), ms))
-                self._check_finite(metrics_hist[-1]["potential"])
-                if (self.precond_update is not None
-                        and epoch % self.precond_update == 0):
-                    self.states = jax.vmap(self.kernel.update_preconditioner)(
-                        self.states)
-                if self._is_sampling_epoch(epoch):
-                    if self.model_savers is not None:
-                        self._stream_sample(step)
-                    else:
-                        self._samples.append(
-                            (np.asarray(self.states.position),
-                             {k: np.asarray(v) for k, v in
-                              self.model_states.items()}, step))
+            temps = jnp.where(epoch < self.descent_epochs,
+                              jnp.zeros_like(self.temperatures),
+                              self.temperatures)
+            idxs = self._epoch_idxs(cycle, epoch)
+            self.states, self.model_states, ms = self._epoch_fn(
+                self.states, self.model_states, idxs,
+                jnp.asarray(step), temps, self.train_x, self.train_y)
+            step += self.n_full
+            metrics_hist.append(jax.tree_util.tree_map(
+                lambda a: np.asarray(a[-1]), ms))
+            self._check_finite(metrics_hist[-1]["potential"])
+            if (self.precond_update is not None
+                    and epoch % self.precond_update == 0):
+                self.states = jax.vmap(self.kernel.update_preconditioner)(
+                    self.states)
+            if self._is_sampling_epoch(epoch):
+                if self.model_savers is not None:
+                    self._stream_sample(step)
+                else:
+                    self._samples.append(
+                        (np.asarray(self.states.position),
+                         {k: np.asarray(v) for k, v in
+                          self.model_states.items()}, step))
             if (checkpoint_path is not None and checkpoint_every is not None
                     and (e + 1) % checkpoint_every == 0):
                 self.save_checkpoint(checkpoint_path, e + 1, step)
@@ -314,6 +313,7 @@ class MultiChainRunnerReject(MultiChainRunner):
                                                  self.n_chains)
         self.tail = self.N - self.n_full * self.batch_size > 0
         self._initial_pots = None
+        self._precond_pending = False
         self.delta_energies: list = []   # (n_chains,) per boundary
         self.rejections: list = []       # (n_chains,) bool per boundary
         self.boundary_metrics: list = []  # exact loss/log_prior/potential/acc
@@ -394,6 +394,7 @@ class MultiChainRunnerReject(MultiChainRunner):
     def _checkpoint_meta(self, next_e, step):
         meta = super()._checkpoint_meta(next_e, step)
         meta["initial_pots"] = np.asarray(self._initial_pots)
+        meta["precond_pending"] = self._precond_pending
         meta["perm_key"] = np.asarray(jax.random.key_data(self._perm_key))
         if self.rejections:
             meta["rejections"] = np.stack(self.rejections)
@@ -402,6 +403,7 @@ class MultiChainRunnerReject(MultiChainRunner):
 
     def _restore_meta(self, meta):
         self._initial_pots = jnp.asarray(meta["initial_pots"])
+        self._precond_pending = bool(meta.get("precond_pending", False))
         self._perm_key = jax.random.wrap_key_data(
             jnp.asarray(meta["perm_key"]))
         self._chain_perm_keys = jax.random.split(self._perm_key,
@@ -444,43 +446,50 @@ class MultiChainRunnerReject(MultiChainRunner):
             it = tqdm.tqdm(it, desc="epochs")
         for e in it:
             cycle, epoch = divmod(e, self.epochs_per_cycle)
-            if True:
-                temps = jnp.where(epoch < self.descent_epochs,
-                                  jnp.zeros_like(self.temperatures),
-                                  self.temperatures)
-                idxs = self._epoch_idxs(cycle, epoch)
-                self.states, self.model_states, ms = self._epoch_fn(
-                    self.states, self.model_states, idxs,
-                    jnp.asarray(step), temps, self.train_x, self.train_y)
-                step += self.n_full
-                metrics_hist.append(jax.tree_util.tree_map(
-                    lambda a: np.asarray(a[-1]), ms))
-                self._check_finite(metrics_hist[-1]["potential"])
-                if self._is_sampling_epoch(epoch):
-                    (self.states, self.model_states, bm, de, rejected,
-                     self._initial_pots) = self._bfinal_fn(
-                        self.states, self.model_states,
-                        jnp.asarray(step - 1), temps, self._initial_pots,
-                        self.train_x, self.train_y)
-                    self.delta_energies.append(np.asarray(de))
-                    self.rejections.append(np.asarray(rejected))
-                    self.boundary_metrics.append(jax.tree_util.tree_map(
-                        np.asarray, bm))
-                    # sample AFTER maybe_reject: stored samples are already
-                    # correctly rolled back (inference_reject.py:140-146)
-                    if self.model_savers is not None:
-                        self._stream_sample(step)
-                    else:
-                        self._samples.append(
-                            (np.asarray(self.states.position),
-                             {k: np.asarray(v) for k, v in
-                              self.model_states.items()}, step))
-                    self.states = self._binit_fn(
-                        self.states, jnp.asarray(step), temps)
-                if (self.precond_update is not None
-                        and (epoch + 1) % self.precond_update == 0):
-                    self.states = jax.vmap(self.kernel.update_preconditioner)(
-                        self.states)
+            temps = jnp.where(epoch < self.descent_epochs,
+                              jnp.zeros_like(self.temperatures),
+                              self.temperatures)
+            idxs = self._epoch_idxs(cycle, epoch)
+            self.states, self.model_states, ms = self._epoch_fn(
+                self.states, self.model_states, idxs,
+                jnp.asarray(step), temps, self.train_x, self.train_y)
+            step += self.n_full
+            metrics_hist.append(jax.tree_util.tree_map(
+                lambda a: np.asarray(a[-1]), ms))
+            self._check_finite(metrics_hist[-1]["potential"])
+            precond_due = (self.precond_update is not None
+                           and (epoch + 1) % self.precond_update == 0)
+            if self._is_sampling_epoch(epoch):
+                (self.states, self.model_states, bm, de, rejected,
+                 self._initial_pots) = self._bfinal_fn(
+                    self.states, self.model_states,
+                    jnp.asarray(step - 1), temps, self._initial_pots,
+                    self.train_x, self.train_y)
+                self.delta_energies.append(np.asarray(de))
+                self.rejections.append(np.asarray(rejected))
+                self.boundary_metrics.append(jax.tree_util.tree_map(
+                    np.asarray, bm))
+                # sample AFTER maybe_reject: stored samples are already
+                # correctly rolled back (inference_reject.py:140-146)
+                if self.model_savers is not None:
+                    self._stream_sample(step)
+                else:
+                    self._samples.append(
+                        (np.asarray(self.states.position),
+                         {k: np.asarray(v) for k, v in
+                          self.model_states.items()}, step))
+                # preconditioner updates apply only BETWEEN segments
+                # (after maybe_reject, before initial_step) so M stays
+                # constant within every M-H segment — see
+                # inference/reject.py for the rationale
+                if precond_due or self._precond_pending:
+                    self.states = jax.vmap(
+                        self.kernel.update_preconditioner)(self.states)
+                    self._precond_pending = False
+                self.states = self._binit_fn(
+                    self.states, jnp.asarray(step), temps)
+            elif precond_due:
+                self._precond_pending = True
             if (checkpoint_path is not None and checkpoint_every is not None
                     and (e + 1) % checkpoint_every == 0):
                 self.save_checkpoint(checkpoint_path, e + 1, step)

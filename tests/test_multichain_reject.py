@@ -109,3 +109,35 @@ def test_hmc_variant():
     runner.run()
     # small steps => near-exact integration => (almost) everything accepted
     assert runner.acceptance_rates().mean() > 0.9
+
+
+def test_precond_update_only_between_segments(monkeypatch):
+    """Preconditioner updates must land between M-H segments (after
+    maybe_reject, before initial_step), never mid-segment — otherwise ΔE
+    mixes old-M and new-M terms and the exact acceptance test is wrong."""
+    x, y = _toy(n=48)
+    model = models.LogisticRegression(4, 2)
+    # skip=2 → epoch 1 of each cycle samples, epoch 2 does not; with
+    # precond_update=1 the non-boundary epoch's update must be deferred
+    runner = MultiChainRunnerReject(
+        model, (x, y), n_chains=2, temperatures=1.0, learning_rate=1e-4,
+        momentum=0.9, batch_size=16, cycles=2, epochs_per_cycle=3,
+        warmup_epochs=1, sample_epochs=2, skip=2, precond_update=1,
+        key=jax.random.key(1), dtype=jnp.float64)
+
+    calls = []
+    real = runner.kernel.update_preconditioner
+
+    def spy(state):
+        calls.append(len(runner.rejections))  # boundaries completed so far
+        return real(state)
+
+    monkeypatch.setattr(runner.kernel, "update_preconditioner", spy)
+    runner.run()
+    n_boundaries = len(runner.rejections)
+    assert n_boundaries == 2  # one per cycle (epoch index 1, skip=2)
+    # every update fired exactly at a boundary: the count of completed
+    # boundaries strictly increases between consecutive update calls,
+    # i.e. no two updates inside one segment and none mid-segment
+    assert len(calls) == 2
+    assert calls == sorted(set(calls)), calls

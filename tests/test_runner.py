@@ -189,3 +189,84 @@ def test_exact_gradient_matches_sum_of_batches():
     np.testing.assert_allclose(float(pot), float(pot_ref), rtol=1e-8)
     np.testing.assert_allclose(
         np.asarray(grads), np.asarray(runner.kernel.pack(g_ref)), rtol=1e-7)
+
+
+def test_flip_on_reject_negates_momentum():
+    "GHMC-style momentum flip on rejection (opt-in; parity default = no flip)"
+    from bnn_priors_tpu import mcmc
+    model = models.GaussianModel(N=4, D=3)
+    params, _ = model.init(jax.random.key(0))
+    kernel = mcmc.VerletSGLD(num_data=1.0, momentum=0.9)
+    state = kernel.init(params, jax.random.key(1), save_state=True)
+    state = kernel.sample_momentum(state, 1.0)
+    g = kernel.pack(jax.tree_util.tree_map(lambda a: 0.1 * a, params))
+    state, _ = kernel.initial_step(state, g, 1e-3, 1.0, save_state=True)
+    saved_mom = state.saved[1]
+    huge = jnp.asarray(1e9)  # force rejection
+    st_flip, rej, _ = kernel.maybe_reject(state, huge, 1.0,
+                                          flip_on_reject=True)
+    assert bool(rej)
+    np.testing.assert_array_equal(np.asarray(st_flip.momentum),
+                                  -np.asarray(saved_mom))
+    st_plain, rej2, _ = kernel.maybe_reject(state, huge, 1.0)
+    assert bool(rej2)
+    np.testing.assert_array_equal(np.asarray(st_plain.momentum),
+                                  np.asarray(saved_mom))
+
+
+def test_initial_potential_kept_on_rejection(monkeypatch):
+    """After a rejected boundary the next segment's base potential must be
+    the restored state's (old) potential, not the rejected proposal's."""
+    from bnn_priors_tpu import mcmc
+    x, y = _toy_data()
+    model = models.LogisticRegression(4, 2)
+    runner = VerletSGLDRunner(
+        model, (x, y), None, epochs_per_cycle=2, warmup_epochs=1,
+        sample_epochs=1, learning_rate=1e-3, temperature=1.0, momentum=0.9,
+        cycles=2, batch_size=16, reject_samples=True, key=jax.random.key(3))
+
+    real = runner.kernel.maybe_reject
+
+    def always_reject(state, de, temperature, **kw):
+        st, _, lap = real(state, jnp.asarray(jnp.inf), temperature, **kw)
+        return st, jnp.asarray(True), lap
+
+    monkeypatch.setattr(runner.kernel, "maybe_reject", always_reject)
+
+    seen = []
+    real_boundary = runner._boundary
+
+    def spying_boundary(*args, **kw):
+        out = real_boundary(*args, **kw)
+        seen.append(runner._initial_potential)
+        return out
+
+    monkeypatch.setattr(runner, "_boundary", spying_boundary)
+    runner.run()
+    # every boundary rejected ⇒ the chain rolls back to the state saved at
+    # the very first initial_step every time, so the base potential must
+    # stay pinned at the first boundary's value instead of tracking the
+    # rejected proposals (the reference overwrites it, inference.py:344-346)
+    assert len(seen) >= 3
+    assert all(np.isfinite(v) for v in seen)
+    assert all(v == seen[0] for v in seen[1:]), seen
+
+
+def test_per_step_delta_energy_logged(tmp_path):
+    "reference logs delta_energy/total_energy at every metrics step"
+    x, y = _toy_data()
+    model = models.LogisticRegression(4, 2)
+    with HDF5Metrics(tmp_path / "metrics.h5") as metrics:
+        runner = VerletSGLDRunner(
+            model, (x, y), None, epochs_per_cycle=2, warmup_epochs=1,
+            sample_epochs=1, learning_rate=1e-3, temperature=1.0,
+            momentum=0.9, cycles=2, batch_size=16, metrics_skip=1,
+            metrics_saver=metrics, key=jax.random.key(5))
+        runner.run()
+    import h5py
+    with h5py.File(tmp_path / "metrics.h5", "r") as f:
+        de = np.asarray(f["delta_energy"])
+        finite = np.isfinite(de)
+        # intermediate steps (not only the 4 boundary rows) carry ΔE
+        assert finite.sum() > 2 * 4
+        assert "total_energy" in f
