@@ -27,6 +27,13 @@ def parse_cli(defaults: Dict[str, Any], argv=None) -> Dict[str, Any]:
         if "=" not in arg:
             raise ValueError(f"expected key=value, got {arg!r}")
         key, value = arg.split("=", 1)
+        # sacred errors on unknown config keys; a typo'd override must not
+        # silently leave the default in place for a multi-hour run. Dotted
+        # keys may extend dict-valued defaults (weight_prior_params.a=1).
+        root = key.split(".")[0]
+        if root not in cfg:
+            raise KeyError(f"unknown config key {key!r} "
+                           f"(known: {', '.join(sorted(cfg))})")
         cfg_set(cfg, key, coerce(value, cfg_get(cfg, key)))
     return cfg
 
@@ -53,7 +60,14 @@ def coerce(value: str, default):
     if isinstance(default, dict) or value[:1] in "[{":
         return json.loads(value)
     if isinstance(default, bool) or value in ("True", "False", "true", "false"):
-        return value in ("True", "true")
+        # accept the common truthy/falsy spellings; anything else is an
+        # error — `batchnorm=1` silently meaning False would invert the run
+        low = value.lower()
+        if low in ("true", "1", "yes", "on"):
+            return True
+        if low in ("false", "0", "no", "off"):
+            return False
+        raise ValueError(f"cannot parse {value!r} as a bool")
     if value == "None":
         return None
     if isinstance(default, int) and not isinstance(default, bool):
