@@ -113,7 +113,10 @@ class TaskQueue:
         try:
             with open(self._dir(t) / "result.json") as f:
                 return json.load(f)["status"]  # "done"|"failed"|"waiting"
-        except (FileNotFoundError, json.JSONDecodeError):
+        except (OSError, json.JSONDecodeError, KeyError):
+            # OSError covers FileNotFoundError plus transient shared-fs
+            # errors (NFS ESTALE); KeyError covers a torn/partial record
+            # that parsed as JSON but lacks "status"
             return None
 
     def state(self, t: Task) -> str:

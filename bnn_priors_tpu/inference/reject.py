@@ -149,7 +149,8 @@ class VerletSGLDRunnerReject(VerletSGLDRunner):
                                               initial_potential, pot)
                 if self.reject_samples:
                     chain, rejected, _ = self.kernel.maybe_reject(
-                        chain, de, temperature)
+                        chain, de, temperature,
+                        flip_on_reject=self.flip_on_reject)
                 else:
                     rejected = jnp.asarray(False)
                 # base potential for the NEXT segment's ΔE: on rejection the
@@ -252,6 +253,12 @@ class VerletSGLDRunnerReject(VerletSGLDRunner):
 
             precond_due = (self.precond_update is not None
                            and (epoch + 1) % self.precond_update == 0)
+            # Deferring updates to M-H segment boundaries preserves ΔE
+            # exactness, which only matters when an acceptance test exists:
+            # with reject_samples=False (always true for SGLDRunnerReject)
+            # or with no sampling epochs at all, follow the reference's
+            # per-epoch cadence instead (inference_reject.py:167-168).
+            defer_precond = self.reject_samples and self.sample_epochs > 0
             if self._is_sampling_epoch(epoch):
                 mstep += 1
                 (self.chain, self.model_state, metrics, pot, de,
@@ -273,26 +280,36 @@ class VerletSGLDRunnerReject(VerletSGLDRunner):
                               else None))
                 self._evaluate_and_log(mstep)
                 self._save_sample(mstep)
-                # Preconditioner updates apply ONLY between segments —
-                # after maybe_reject, before the next initial_step — so
-                # M is constant within every M-H proposal segment and ΔE
-                # is the segment's true energy change. (The reference
-                # updates after the boundary's initial_step,
-                # inference_reject.py:167-168, mixing old-M and new-M
-                # terms in the next acceptance test; with the paper's
-                # skip=1, precond_update=1 the cadence here is
-                # identical, only the placement is exact.)
-                if precond_due or self._precond_pending:
+                # When rejecting, preconditioner updates apply ONLY
+                # between segments — after maybe_reject, before the next
+                # initial_step — so M is constant within every M-H
+                # proposal segment and ΔE is the segment's true energy
+                # change. (The reference updates after the boundary's
+                # initial_step, inference_reject.py:167-168, mixing
+                # old-M and new-M terms in the next acceptance test;
+                # with the paper's skip=1, precond_update=1, warmup
+                # epochs shift WHICH boundary applies a due update by at
+                # most one segment — the placement here is exact.)
+                if defer_precond:
+                    if precond_due or self._precond_pending:
+                        self.chain = self.kernel.update_preconditioner(
+                            self.chain)
+                        self._precond_pending = False
+                elif precond_due:
                     self.chain = self.kernel.update_preconditioner(
                         self.chain)
-                    self._precond_pending = False
                 self.chain = self._boundary_initial(
                     self.chain, lr_index, temperature)
             else:
                 self._evaluate_and_log(mstep)
                 if precond_due:
-                    # defer to the next segment boundary
-                    self._precond_pending = True
+                    if defer_precond:
+                        # defer to the next segment boundary
+                        self._precond_pending = True
+                    else:
+                        # no acceptance test exists: reference cadence
+                        self.chain = self.kernel.update_preconditioner(
+                            self.chain)
             if self.metrics_saver is not None:
                 epoch_s = time.time() - t_epoch
                 self.metrics_saver.add_scalar(

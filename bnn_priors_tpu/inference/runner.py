@@ -49,7 +49,8 @@ class SGLDRunner:
                  metrics_skip=1, temperature=1.0, data_mult=1.0, momentum=0.0,
                  sampling_decay=True, grad_max=1e6, cycles=1,
                  precond_update=None, metrics_saver=None, model_saver=None,
-                 reject_samples=False, batch_size=128, eval_batch_size=None,
+                 reject_samples=False, flip_on_reject=False,
+                 batch_size=128, eval_batch_size=None,
                  augment_fn: Optional[Callable] = None,
                  init_params=None, init_model_state=None, key=None,
                  checkpoint_path=None, checkpoint_every=None,
@@ -85,6 +86,9 @@ class SGLDRunner:
         self.metrics_saver = metrics_saver
         self.model_saver = model_saver
         self.reject_samples = reject_samples
+        # GHMC momentum-flip correction on rejection (verlet_sgld.py
+        # maybe_reject flip_on_reject); the reference never flips
+        self.flip_on_reject = flip_on_reject
         self.batch_size = int(batch_size)
         self.eval_batch_size = int(eval_batch_size or batch_size)
         self.augment_fn = augment_fn
@@ -576,7 +580,8 @@ class VerletSGLDRunner(SGLDRunner):
                                               initial_potential, pot)
                 if self.reject_samples:
                     chain, rejected, _ = self.kernel.maybe_reject(
-                        chain, de, temperature)
+                        chain, de, temperature,
+                        flip_on_reject=self.flip_on_reject)
                 else:
                     rejected = jnp.asarray(False)
                 if self._is_hmc():

@@ -240,6 +240,11 @@ class MultiChainRunner:
         positions = np.asarray(self.states.position)
         mstates = {k: np.asarray(v) for k, v in self.model_states.items()}
         for c, saver in enumerate(self.model_savers):
+            if c in self.nan_chains:
+                # quarantined: a diverged chain's samples must not land
+                # in the on-disk bank where post-hoc eval would silently
+                # ensemble NaNs
+                continue
             params = self.kernel.unpack(jnp.asarray(positions[c]))
             sd = {k: np.asarray(v) for k, v in params.items()}
             sd.update({k: v[c] for k, v in mstates.items()})
@@ -258,9 +263,12 @@ class MultiChainRunner:
         return states._replace(momentum=new_m, key=new_keys)
 
     # -- sample bank -------------------------------------------------------
-    def get_samples(self) -> Dict[str, np.ndarray]:
+    def get_samples(self, drop_nan_chains=True) -> Dict[str, np.ndarray]:
         """stacked sample bank dict: each entry (n_samples, n_chains, ...);
-        per-chain banks via `chain_samples(c)`."""
+        per-chain banks via `chain_samples(c)`. Diverged (NaN) chains are
+        dropped from the chain axis by default so they cannot silently
+        enter posterior-predictive ensembles; pass drop_nan_chains=False
+        for the raw bank."""
         out: Dict[str, list] = {}
         for position, mstate, step in self._samples:
             params = jax.vmap(self.kernel.unpack)(jnp.asarray(position))
@@ -268,10 +276,23 @@ class MultiChainRunner:
                 out.setdefault(k, []).append(np.asarray(v))
             for k, v in mstate.items():
                 out.setdefault(k, []).append(v)
-        return {k: np.stack(v) for k, v in out.items()}
+        bank = {k: np.stack(v) for k, v in out.items()}
+        if drop_nan_chains and self.nan_chains:
+            keep = [c for c in range(self.n_chains)
+                    if c not in self.nan_chains]
+            warnings.warn(
+                f"dropping diverged chains {sorted(self.nan_chains)} "
+                "from the sample bank")
+            bank = {k: v[:, keep] for k, v in bank.items()}
+        return bank
 
     def chain_samples(self, chain: int) -> Dict[str, np.ndarray]:
-        bank = self.get_samples()
+        if chain in self.nan_chains:
+            raise ValueError(
+                f"chain {chain} diverged (NaN potential); its samples "
+                "are quarantined — use get_samples(drop_nan_chains=False)"
+                " to inspect them")
+        bank = self.get_samples(drop_nan_chains=False)
         return {k: v[:, chain] for k, v in bank.items()}
 
 
@@ -295,7 +316,9 @@ class MultiChainRunnerReject(MultiChainRunner):
 
     kernel_init_kwargs = {"save_state": True}
 
-    def __init__(self, *args, reject_samples=True, **kwargs):
+    def __init__(self, *args, reject_samples=True, flip_on_reject=False,
+                 **kwargs):
+        self.flip_on_reject = flip_on_reject
         kwargs.setdefault("kernel", "VerletSGLD")
         self._kernel_name = kwargs["kernel"]
         assert self._kernel_name in ("VerletSGLD", "HMC", "SGLD")
@@ -320,6 +343,9 @@ class MultiChainRunnerReject(MultiChainRunner):
         self._exact_fn = None
         self._bfinal_fn = None
         self._binit_fn = None
+
+    def _defer_precond(self):
+        return self.reject_samples and self.sample_epochs > 0
 
     # -- fixed data order per (chain, cycle) --------------------------------
     def _epoch_idxs(self, cycle=0, epoch=0):
@@ -354,8 +380,9 @@ class MultiChainRunnerReject(MultiChainRunner):
                                          calc_metrics=False)
             de = kernel.delta_energy(state, g, lr, initial_pot, pot)
             if self.reject_samples:
-                state, rejected, _ = kernel.maybe_reject(state, de,
-                                                         temperature)
+                state, rejected, _ = kernel.maybe_reject(
+                    state, de, temperature,
+                    flip_on_reject=self.flip_on_reject)
             else:
                 rejected = jnp.asarray(False)
             # on rejection the chain returns to the saved state, whose
@@ -478,18 +505,29 @@ class MultiChainRunnerReject(MultiChainRunner):
                         (np.asarray(self.states.position),
                          {k: np.asarray(v) for k, v in
                           self.model_states.items()}, step))
-                # preconditioner updates apply only BETWEEN segments
-                # (after maybe_reject, before initial_step) so M stays
-                # constant within every M-H segment — see
-                # inference/reject.py for the rationale
-                if precond_due or self._precond_pending:
+                # When rejecting, preconditioner updates apply only
+                # BETWEEN segments (after maybe_reject, before
+                # initial_step) so M stays constant within every M-H
+                # segment — see inference/reject.py for the rationale.
+                # Without an acceptance test the deferral buys nothing,
+                # so follow the reference's per-epoch cadence instead
+                # (inference_reject.py:167-168).
+                if self._defer_precond():
+                    if precond_due or self._precond_pending:
+                        self.states = jax.vmap(
+                            self.kernel.update_preconditioner)(self.states)
+                        self._precond_pending = False
+                elif precond_due:
                     self.states = jax.vmap(
                         self.kernel.update_preconditioner)(self.states)
-                    self._precond_pending = False
                 self.states = self._binit_fn(
                     self.states, jnp.asarray(step), temps)
             elif precond_due:
-                self._precond_pending = True
+                if self._defer_precond():
+                    self._precond_pending = True
+                else:
+                    self.states = jax.vmap(
+                        self.kernel.update_preconditioner)(self.states)
             if (checkpoint_path is not None and checkpoint_every is not None
                     and (e + 1) % checkpoint_every == 0):
                 self.save_checkpoint(checkpoint_path, e + 1, step)

@@ -141,3 +141,64 @@ def test_precond_update_only_between_segments(monkeypatch):
     # i.e. no two updates inside one segment and none mid-segment
     assert len(calls) == 2
     assert calls == sorted(set(calls)), calls
+
+
+class _ListSaver:
+    "minimal ModelSaver stand-in: collects state dicts in memory"
+    def __init__(self):
+        self.records = []
+
+    def add_state_dict(self, sd, step):
+        self.records.append((step, sd))
+
+
+def test_nan_chain_quarantine():
+    """A diverged (NaN) chain is flagged, its samples are dropped from
+    get_samples(), chain_samples() refuses it, and streaming savers skip
+    it — NaNs cannot silently enter post-hoc ensembles."""
+    import warnings as _warnings
+    x, y = _toy(n=48)
+    model = models.LogisticRegression(4, 2)
+    savers = [_ListSaver() for _ in range(3)]
+    runner = MultiChainRunnerReject(
+        model, (x, y), n_chains=3, temperatures=1.0, learning_rate=1e-4,
+        momentum=0.9, batch_size=16, cycles=1, epochs_per_cycle=2,
+        warmup_epochs=1, sample_epochs=1, key=jax.random.key(5),
+        dtype=jnp.float64, model_savers=savers)
+    # poison chain 1's position -> NaN potential on its first step
+    pos = np.array(runner.states.position)
+    pos[1] = np.nan
+    runner.states = runner.states._replace(position=jnp.asarray(pos))
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
+        runner.run()
+    assert runner.nan_chains == {1}
+    # streamed bank: healthy chains got samples, the diverged one none
+    assert len(savers[0].records) == 1 and len(savers[2].records) == 1
+    assert len(savers[1].records) == 0
+
+    # in-memory bank path: same poisoning without savers
+    runner2 = MultiChainRunnerReject(
+        model, (x, y), n_chains=3, temperatures=1.0, learning_rate=1e-4,
+        momentum=0.9, batch_size=16, cycles=1, epochs_per_cycle=2,
+        warmup_epochs=1, sample_epochs=1, key=jax.random.key(6),
+        dtype=jnp.float64)
+    pos = np.array(runner2.states.position)
+    pos[0] = np.nan
+    runner2.states = runner2.states._replace(position=jnp.asarray(pos))
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
+        runner2.run()
+    assert runner2.nan_chains == {0}
+    bank = runner2.get_samples(drop_nan_chains=False)
+    assert bank["net.weight_prior.p"].shape[1] == 3
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
+        clean = runner2.get_samples()  # default drops the diverged chain
+    assert clean["net.weight_prior.p"].shape[1] == 2
+    assert np.all(np.isfinite(clean["net.weight_prior.p"]))
+    try:
+        runner2.chain_samples(0)
+        raise AssertionError("expected ValueError for diverged chain")
+    except ValueError:
+        pass
