@@ -92,6 +92,33 @@ def _plot_band(ax, x, mean, var, ewma_alpha, color=None, label=None,
     ax.plot(x, upper, color=C, linewidth=0.5)
 
 
+def gp_posterior(ax, x, mean, std, ewma_alpha: float = 0.0,
+                 label: Optional[str] = None, sort=True, fill_alpha=0.05,
+                 **kwargs):
+    """Posterior-predictive band: mean line ± 2σ confidence region over
+    sorted inputs (reference `plot.py:181-207`, which takes a gpytorch
+    MultivariateNormal; here mean/std arrays — e.g. the output of
+    `RaoBRegressionModel.predictive` — mean ± 2σ is gpytorch's
+    `confidence_region()`)."""
+    x = np.asarray(x).reshape(-1)
+    mean = np.asarray(mean).reshape(-1)
+    std = np.asarray(std).reshape(-1)
+    if sort:
+        i = np.argsort(x)
+        x, mean, std = x[i], mean[i], std[i]
+    mean_s = ewma(mean, ewma_alpha)
+    line, *_ = ax.plot(x, mean_s, **kwargs)
+    if label is not None:
+        line.set_label(label)
+    C = line.get_color()
+    lower = ewma(mean - 2 * std, ewma_alpha)
+    upper = ewma(mean + 2 * std, ewma_alpha)
+    ax.fill_between(x, lower, upper, alpha=fill_alpha, color=C)
+    ax.plot(x, lower, color=C, linewidth=0.5)
+    ax.plot(x, upper, color=C, linewidth=0.5)
+    return line
+
+
 def temperature_stderr(ax, metrics, temp_group, sizes: Dict[str, int],
                        ewma_alpha: float = 0.0, mask=slice(None), label=None,
                        legend=True, line_kwargs={}, confidence_kwargs={}):

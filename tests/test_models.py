@@ -236,3 +236,76 @@ def test_model_registry_complete(name):
     assert np.isfinite(float(pot))
     for k, g in grads.items():
         assert np.all(np.isfinite(np.asarray(g))), k
+
+
+# -- RaoB correctness (ported from reference testing/test_models.py:12-58) --
+
+def test_raob_likelihood_matches_direct_mvn():
+    """RaoBDenseNet marginal likelihood (Woodbury + f64 Cholesky) equals
+    the directly-constructed MVN log-prob N(y | 0, ffᵀ + σ²I)
+    (reference testing/test_models.py:12-29)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(10, 3)) * 2)
+    y = jnp.asarray(rng.normal(size=(10, 1)) * 2)
+    model = models.RaoBDenseNet(x, y, 40, noise_std=0.8)
+    params, state = model.init(KEY)
+
+    lik1, _, _ = model.log_likelihood(params, state, x, y, eff_num_data=10)
+
+    f, _ = model.net_apply(params, state, x, train=False)
+    f = np.asarray(f, dtype=np.float64) * model.last_layer_std
+    cov = f @ f.T + 0.8 ** 2 * np.eye(10)
+    lik2 = st.multivariate_normal(
+        mean=np.zeros(10), cov=cov).logpdf(np.asarray(y)[:, 0])
+    np.testing.assert_allclose(float(lik1), lik2, rtol=1e-9)
+
+
+def test_raob_posterior_matches_exact_gp():
+    """RaoBLinearRegression.posterior_w equals the closed-form GP/Bayesian
+    linear regression posterior (reference testing/test_models.py:31-58;
+    the gpytorch ExactGP is replaced by plain linear algebra:
+    Σ = (XᵀX/σ² + I)⁻¹, μ = Σ Xᵀy/σ² for a N(0, I) weight prior)."""
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(10, 3)) * 2
+    w_true = rng.normal(size=(3,))
+    y = x @ w_true
+    sig2 = 0.5 ** 2
+    model = models.RaoBLinearRegression(
+        jnp.asarray(x), jnp.asarray(y)[:, None], noise_std=0.5,
+        std_w=x.shape[1] ** 0.5)  # last_layer_std == 1 → w ~ N(0, I)
+    params, state = model.init(KEY)
+
+    mu, L = model.posterior_w(params, state)
+    mu = np.asarray(mu)[:, 0]
+    cov = np.asarray(L).T @ np.asarray(L)
+
+    A = x.T @ x / sig2 + np.eye(3)
+    cov_exact = np.linalg.inv(A)
+    mu_exact = cov_exact @ x.T @ y / sig2
+    np.testing.assert_allclose(mu, mu_exact, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(cov, cov_exact, rtol=1e-8, atol=1e-10)
+
+
+def test_raob_predictive_matches_exact_gp():
+    "predictive mean/std at new inputs equal the closed-form GP predictive"
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(12, 4))
+    y = x @ rng.normal(size=(4,)) + 0.1 * rng.normal(size=(12,))
+    sig2 = 0.3 ** 2
+    model = models.RaoBLinearRegression(
+        jnp.asarray(x), jnp.asarray(y)[:, None], noise_std=0.3,
+        std_w=x.shape[1] ** 0.5)
+    params, state = model.init(KEY)
+
+    x_star = rng.normal(size=(5, 4))
+    mean, std = model.predictive(params, state, jnp.asarray(x_star))
+
+    A = x.T @ x / sig2 + np.eye(4)
+    cov_w = np.linalg.inv(A)
+    mu_w = cov_w @ x.T @ y / sig2
+    mean_exact = x_star @ mu_w
+    var_exact = np.einsum("ij,jk,ik->i", x_star, cov_w, x_star) + sig2
+    np.testing.assert_allclose(np.asarray(mean)[:, 0], mean_exact,
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(std)[:, 0] ** 2, var_exact,
+                               rtol=1e-8, atol=1e-10)

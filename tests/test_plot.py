@@ -64,3 +64,34 @@ def test_collect_runs(tmp_path):
     assert "result.acc_ensemble" in df.columns
     uniq = notebook_utils.unique_cols(df)
     assert any("temperature" in c for c in uniq)
+
+
+def test_gp_posterior_band(tmp_path):
+    """gp_posterior (reference plot.py:181-207): sorted mean line + ±2σ
+    band from a RaoB predictive — smoke + geometry checks."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import jax.numpy as jnp
+    from bnn_priors_tpu import models
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(20, 1))
+    y = (2.0 * x[:, 0] + 0.1 * rng.normal(size=20))
+    model = models.RaoBLinearRegression(
+        jnp.asarray(x), jnp.asarray(y)[:, None], noise_std=0.3, std_w=1.0)
+    params, state = model.init(__import__("jax").random.key(0))
+    xs = rng.normal(size=(15, 1))
+    mean, std = model.predictive(params, state, jnp.asarray(xs))
+
+    fig, ax = plt.subplots()
+    line = plot.gp_posterior(ax, xs, mean, std, label="pred")
+    xdata, ydata = line.get_data()
+    assert np.all(np.diff(xdata) >= 0)          # sorted
+    order = np.argsort(xs[:, 0])
+    np.testing.assert_allclose(ydata, np.asarray(mean)[order, 0])
+    # 1 mean line + 2 band edges
+    assert len(ax.lines) == 3
+    fig.savefig(tmp_path / "gp.png")
+    plt.close(fig)
+    assert (tmp_path / "gp.png").stat().st_size > 0
