@@ -54,13 +54,26 @@ def init_chains(kernel, params_tree, key, n_chains: int, init_kwargs=None):
 def init_chains_diverse(kernel, model, key, n_chains: int, init_kwargs=None,
                         dtype=None):
     "independent prior draw per chain (the ensemble workload's init)"
+    keys = jax.random.split(key, n_chains)
+
+    def params_fn(i, k):
+        params, _ = model.init(k, dtype=dtype)
+        return params
+    return init_chains_from_fn(kernel, key, n_chains, params_fn, init_kwargs)
+
+
+def init_chains_from_fn(kernel, key, n_chains: int, params_fn,
+                        init_kwargs=None):
+    """Stacked chain state with explicit per-chain initial parameters:
+    `params_fn(chain_index, key) -> params dict` (he-initialization, warm
+    starts, ...); each chain still gets an independent PRNG stream."""
     init_kwargs = init_kwargs or {}
     keys = jax.random.split(key, n_chains)
     states = []
     for i in range(n_chains):
-        k_init, k_chain = jax.random.split(keys[i])
-        params, _ = model.init(k_init, dtype=dtype)
-        states.append(kernel.init(params, k_chain, **init_kwargs))
+        k_params, k_chain = jax.random.split(keys[i])
+        states.append(kernel.init(params_fn(i, k_params), k_chain,
+                                  **init_kwargs))
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
 
 

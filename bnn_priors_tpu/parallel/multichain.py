@@ -40,7 +40,8 @@ class MultiChainRunner:
                  epochs_per_cycle=1, warmup_epochs=0, sample_epochs=1,
                  skip=1, grad_max=1e6, precond_update=None,
                  data_mult=1.0, mesh: Optional[Mesh] = None, key=None,
-                 dtype=jnp.float32, augment_fn=None, model_savers=None):
+                 dtype=jnp.float32, augment_fn=None, model_savers=None,
+                 init_params_fn=None):
         self.model = model
         self.train_x, self.train_y = train_data
         self.n_chains = int(n_chains)
@@ -76,9 +77,17 @@ class MultiChainRunner:
         else:
             self.kernel = kernel_cls(num_data=self.eff_num_data,
                                      momentum=momentum)
-        self.states = init_chains_diverse(
-            self.kernel, model, k_chains, self.n_chains, dtype=dtype,
-            init_kwargs=self.kernel_init_kwargs)
+        if init_params_fn is not None:
+            # explicit per-chain init (he-initialization, warm starts):
+            # params_fn(chain_index, key) -> params dict
+            from .chains import init_chains_from_fn
+            self.states = init_chains_from_fn(
+                self.kernel, k_chains, self.n_chains, init_params_fn,
+                init_kwargs=self.kernel_init_kwargs)
+        else:
+            self.states = init_chains_diverse(
+                self.kernel, model, k_chains, self.n_chains, dtype=dtype,
+                init_kwargs=self.kernel_init_kwargs)
         _, model_state = model.init(jax.random.key(0), dtype=dtype)
         self.model_states = jax.tree_util.tree_map(
             lambda v: jnp.broadcast_to(v, (self.n_chains,) + v.shape).copy(),
@@ -113,7 +122,9 @@ class MultiChainRunner:
             (pot, (new_ms, aux)), g = jax.value_and_grad(
                 fn, has_aux=True)(kernel.unpack(state.position))
             g = jnp.clip(kernel.pack(g), -grad_max, grad_max)
-            lr = lr0 * schedule(step)
+            # cast: under x64 the f64 cosine schedule must not promote an
+            # f32 chain state (the CLI runs f32 even when x64 is enabled)
+            lr = jnp.asarray(lr0 * schedule(step), g.dtype)
             state, _ = kernel.step(state, g, lr, temperature,
                                    calc_metrics=False)
             # per-chain tempering diagnostics (aggregate over all params):
@@ -393,7 +404,8 @@ class MultiChainRunnerReject(MultiChainRunner):
             return state, model_state, m, de, rejected, next_pot
 
         def f(states, model_states, lr_index, temps, initial_pots, tx, ty):
-            lr = lr0 * schedule(lr_index)
+            lr = jnp.asarray(lr0 * schedule(lr_index),
+                             states.position.dtype)
             return jax.vmap(one, in_axes=(0, 0, 0, 0, None, None, None))(
                 states, model_states, temps, initial_pots, lr, tx, ty)
         return jax.jit(f)
@@ -413,7 +425,8 @@ class MultiChainRunnerReject(MultiChainRunner):
             return state
 
         def f(states, lr_index, temps):
-            lr = lr0 * schedule(lr_index)
+            lr = jnp.asarray(lr0 * schedule(lr_index),
+                             states.position.dtype)
             return jax.vmap(one, in_axes=(0, 0, None))(states, temps, lr)
         return jax.jit(f)
 

@@ -1,0 +1,423 @@
+"""Posterior-metric parity check: torch reference vs bnn_priors_tpu.
+
+Runs MATCHED workloads through BOTH frameworks on CPU — the actual
+upstream reference (/root/reference, imported via _reference_shim) with
+torch, and this framework with JAX — across several seeds each, then
+compares posterior-predictive metrics (lp_ensemble / acc_ensemble),
+M-H acceptance rates, and pooled posterior moments within Monte-Carlo
+error (two-sample z-test over seeds, threshold |z| < 3).
+
+Workloads (small enough for CPU but statistically meaningful):
+  gaussian   GaussianModel prior-only posterior recovery with
+             VerletSGLDReject (exact M-H): both sides must stay at the
+             known N(mean, std^2) posterior and accept at similar rates.
+  uci_sgld   UCI boston, `densenet` regression, SGLD with cosine cycles
+             and RMSProp preconditioning (both repos bundle the
+             identical UCI split files).
+  synth_reject  Fixed synthetic 2-class dataset, `classificationdensenet`,
+             VerletSGLDReject with reject_samples=True.
+
+Usage:
+  python experiments/parity_check.py [--seeds N] [--workloads a,b]
+      [--out PARITY_RESULTS.md]
+
+Writes a results table to --out and exits nonzero on any FAIL.
+Reference call paths exercised: inference.SGLDRunner.run,
+inference_reject.VerletSGLDRunnerReject.run, exp_utils.evaluate_model
+(exp_utils.py:250-340), exp_utils.get_data / get_model / he_initialize.
+"""
+import argparse
+import json
+import math
+import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# ---------------------------------------------------------------------------
+# shared workload definitions (identical hyperparameters on both sides)
+# ---------------------------------------------------------------------------
+
+GAUSS = dict(N=8, D=50, mean=0.7, std=1.3, lr=0.05, momentum=0.9,
+             cycles=60, warmup=1, sample=1, temperature=1.0,
+             sampling_decay="flat")
+
+UCI = dict(data="UCI_boston", width=50, depth=3, lr=1e-3, momentum=0.994,
+           cycles=4, warmup=10, sample=5, batch_size=128, temperature=1.0,
+           precond_update=1, sampling_decay="cosine")
+
+SYNTH = dict(n_train=256, n_test=256, d=8, classes=2, width=32, depth=3,
+             lr=1e-3, momentum=0.994, cycles=5, warmup=8, sample=4,
+             batch_size=32, temperature=1.0, sampling_decay="cosine")
+
+
+def synth_arrays():
+    "fixed synthetic 2-class dataset, shared verbatim by both sides"
+    rng = np.random.default_rng(12345)
+    n = SYNTH["n_train"] + SYNTH["n_test"]
+    x = rng.standard_normal((n, SYNTH["d"])).astype(np.float32)
+    w = rng.standard_normal((SYNTH["d"],)) * 1.5
+    logits = x @ w + 0.5 * rng.standard_normal(n)
+    y = (logits > 0).astype(np.int64)
+    k = SYNTH["n_train"]
+    return (x[:k], y[:k]), (x[k:], y[k:])
+
+
+def pooled_moments(stacked):
+    "per-sample pooled mean/std over one (E, ...) weight bank entry"
+    a = np.asarray(stacked, dtype=np.float64)
+    return float(a.mean()), float(a.std())
+
+
+# ---------------------------------------------------------------------------
+# reference (torch) side
+# ---------------------------------------------------------------------------
+
+def _ref_modules():
+    import _reference_shim
+    _reference_shim.install()
+    import torch
+    import bnn_priors.inference
+    import bnn_priors.inference_reject
+    import bnn_priors.models
+    from bnn_priors import exp_utils
+    return torch, bnn_priors, exp_utils
+
+
+def _ref_acceptance(metrics_path):
+    "mean acceptance over sample boundaries from a reference metrics.h5"
+    import h5py
+    with h5py.File(metrics_path, "r") as f:
+        rej = np.asarray(f["acceptance/rejected"])
+        rej = rej[rej >= 0]  # drop int64-NaN fill (-2^63)
+    if len(rej) <= 1:
+        return float("nan")
+    return float(1.0 - rej[1:].mean())  # first row is the initial step
+
+
+def _ref_run(runner, metrics_ctx):
+    with metrics_ctx as _:
+        runner.metrics_saver = _
+        runner.run(progressbar=False)
+    return runner.get_samples()
+
+
+def ref_gaussian(seed):
+    torch, bnn, exp_utils = _ref_modules()
+    cfg = GAUSS
+    torch.manual_seed(seed)
+    model = bnn.models.GaussianModel(N=cfg["N"], D=cfg["D"],
+                                     mean=cfg["mean"], std=cfg["std"])
+    x = torch.zeros((1, 1))
+    y = torch.zeros((1, 1))
+    ds = torch.utils.data.TensorDataset(x, y)
+    empty = torch.utils.data.TensorDataset(x[:0], y[:0])
+    loader = torch.utils.data.DataLoader(ds, batch_size=1, shuffle=True)
+    loader_test = torch.utils.data.DataLoader(empty, batch_size=1)
+    runner = bnn.inference_reject.VerletSGLDRunnerReject(
+        model=model, dataloader=loader, dataloader_test=loader_test,
+        epochs_per_cycle=cfg["warmup"] + cfg["sample"],
+        warmup_epochs=cfg["warmup"], sample_epochs=cfg["sample"],
+        learning_rate=cfg["lr"], skip=1, metrics_skip=1,
+        sampling_decay=cfg["sampling_decay"], cycles=cfg["cycles"],
+        temperature=cfg["temperature"], momentum=cfg["momentum"],
+        precond_update=None, reject_samples=True)
+    with tempfile.TemporaryDirectory() as td:
+        mpath = Path(td) / "metrics.h5"
+        samples = _ref_run(runner, exp_utils.HDF5Metrics(mpath, "w"))
+        acc_rate = _ref_acceptance(mpath)
+    bank = np.stack([np.asarray(samples[f"{i}.p"], dtype=np.float64)
+                     for i in range(cfg["N"])], axis=1)
+    mean, std = pooled_moments(bank)
+    return {"post_mean": mean, "post_std": std, "accept_rate": acc_rate}
+
+
+def _ref_supervised(seed, workload):
+    torch, bnn, exp_utils = _ref_modules()
+    torch.manual_seed(seed)
+    if workload == "uci_sgld":
+        cfg = UCI
+        data = exp_utils.get_data(cfg["data"], torch.device("cpu"))
+        x_train, y_train = data.norm.train_X, data.norm.train_y
+        train_ds, test_ds = data.norm.train, data.norm.test
+        model_name = "densenet"
+        runner_cls = bnn.inference.SGLDRunner
+        reject = False
+        precond = cfg["precond_update"]
+    else:
+        cfg = SYNTH
+        (xtr, ytr), (xte, yte) = synth_arrays()
+        x_train = torch.from_numpy(xtr)
+        y_train = torch.from_numpy(ytr)
+        train_ds = torch.utils.data.TensorDataset(x_train, y_train)
+        test_ds = torch.utils.data.TensorDataset(torch.from_numpy(xte),
+                                                 torch.from_numpy(yte))
+        model_name = "classificationdensenet"
+        runner_cls = bnn.inference_reject.VerletSGLDRunnerReject
+        reject = True
+        precond = None
+    model = exp_utils.get_model(
+        x_train=x_train, y_train=y_train, model=model_name,
+        width=cfg["width"], depth=cfg["depth"],
+        weight_prior="gaussian", weight_loc=0.0, weight_scale=2.0 ** 0.5,
+        bias_prior="gaussian", bias_loc=0.0, bias_scale=1.0,
+        batchnorm=True, weight_prior_params={}, bias_prior_params={})
+    exp_utils.he_initialize(model)
+    loader = torch.utils.data.DataLoader(
+        train_ds, batch_size=cfg["batch_size"], shuffle=True,
+        drop_last=False, num_workers=0)
+    loader_test = torch.utils.data.DataLoader(
+        test_ds, batch_size=cfg["batch_size"], shuffle=False,
+        drop_last=False, num_workers=0)
+    runner = runner_cls(
+        model=model, dataloader=loader, dataloader_test=loader_test,
+        epochs_per_cycle=cfg["warmup"] + cfg["sample"],
+        warmup_epochs=cfg["warmup"], sample_epochs=cfg["sample"],
+        learning_rate=cfg["lr"], skip=1, metrics_skip=1,
+        sampling_decay=cfg["sampling_decay"], cycles=cfg["cycles"],
+        temperature=cfg["temperature"], momentum=cfg["momentum"],
+        precond_update=precond, reject_samples=reject)
+    with tempfile.TemporaryDirectory() as td:
+        mpath = Path(td) / "metrics.h5"
+        samples = _ref_run(runner, exp_utils.HDF5Metrics(mpath, "w"))
+        acc_rate = _ref_acceptance(mpath) if reject else float("nan")
+    model.eval()
+    result = exp_utils.evaluate_model(
+        model=model, dataloader_test=loader_test, samples=samples,
+        likelihood_eval=True, accuracy_eval=True, calibration_eval=False)
+    wkeys = sorted(k for k in samples if k.endswith("weight_prior.p"))
+    wm, ws = pooled_moments(
+        np.concatenate([np.asarray(samples[k], dtype=np.float64).reshape(
+            samples[k].shape[0], -1) for k in wkeys], axis=1))
+    return {"lp_ensemble": result["lp_ensemble"],
+            "acc_ensemble": result["acc_ensemble"],
+            "accept_rate": acc_rate, "w_mean": wm, "w_std": ws}
+
+
+# ---------------------------------------------------------------------------
+# this framework (JAX) side
+# ---------------------------------------------------------------------------
+
+def _jax_cpu():
+    import jax
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass  # backend already initialized (must already be cpu)
+    return jax
+
+
+def tpu_gaussian(seed):
+    jax = _jax_cpu()
+    import jax.numpy as jnp
+    from bnn_priors_tpu import models
+    from bnn_priors_tpu.inference import VerletSGLDRunnerReject
+    from bnn_priors_tpu.io import HDF5Metrics
+    from bnn_priors_tpu.plot import load_metrics
+
+    cfg = GAUSS
+    model = models.GaussianModel(N=cfg["N"], D=cfg["D"], mean=cfg["mean"],
+                                 std=cfg["std"])
+    x = jnp.zeros((1, 1))
+    y = jnp.zeros((1, 1))
+    with tempfile.TemporaryDirectory() as td:
+        mpath = Path(td) / "metrics.h5"
+        with HDF5Metrics(mpath) as ms:
+            runner = VerletSGLDRunnerReject(
+                model, (x, y), None,
+                epochs_per_cycle=cfg["warmup"] + cfg["sample"],
+                warmup_epochs=cfg["warmup"], sample_epochs=cfg["sample"],
+                learning_rate=cfg["lr"], skip=1, metrics_skip=1,
+                sampling_decay=cfg["sampling_decay"], cycles=cfg["cycles"],
+                temperature=cfg["temperature"], momentum=cfg["momentum"],
+                precond_update=None, reject_samples=True, batch_size=1,
+                metrics_saver=ms, key=jax.random.key(seed))
+            runner.run(progressbar=False)
+            samples = runner.get_samples()
+        m = load_metrics(mpath)
+        rej = np.asarray(m["acceptance"]["rejected"], dtype=np.float64)
+        rej = rej[np.isfinite(rej) & (rej >= 0)]  # drop int64-NaN fill
+        acc_rate = float(1.0 - rej[1:].mean())
+    bank = np.stack([np.asarray(samples[f"{i}.p"], dtype=np.float64)
+                     for i in range(cfg["N"])], axis=1)
+    mean, std = pooled_moments(bank)
+    return {"post_mean": mean, "post_std": std, "accept_rate": acc_rate}
+
+
+def _tpu_supervised(seed, workload):
+    jax = _jax_cpu()
+    import jax.numpy as jnp
+    from bnn_priors_tpu import exp_utils, inference
+    from bnn_priors_tpu.evaluate import evaluate_model
+    from bnn_priors_tpu.io import HDF5Metrics
+    from bnn_priors_tpu.plot import load_metrics
+
+    if workload == "uci_sgld":
+        cfg = UCI
+        data = exp_utils.get_data(cfg["data"])
+        x_train = jnp.asarray(data.norm.train_X, dtype=jnp.float32)
+        y_train = jnp.asarray(data.norm.train_y, dtype=jnp.float32)
+        x_test = jnp.asarray(data.norm.test_X, dtype=jnp.float32)
+        y_test = jnp.asarray(data.norm.test_y, dtype=jnp.float32)
+        model_name = "densenet"
+        runner_cls = inference.SGLDRunner
+        reject = False
+        precond = cfg["precond_update"]
+    else:
+        cfg = SYNTH
+        (xtr, ytr), (xte, yte) = synth_arrays()
+        x_train, y_train = jnp.asarray(xtr), jnp.asarray(ytr)
+        x_test, y_test = jnp.asarray(xte), jnp.asarray(yte)
+        model_name = "classificationdensenet"
+        runner_cls = inference.VerletSGLDRunnerReject
+        reject = True
+        precond = None
+    model = exp_utils.get_model(
+        x_train, y_train, model_name, cfg["width"], cfg["depth"],
+        "gaussian", 0.0, 2.0 ** 0.5, "gaussian", 0.0, 1.0,
+        True, {}, {})
+    k_init, k_he, k_run = jax.random.split(jax.random.key(seed), 3)
+    params, mstate = model.init(k_init, dtype=jnp.float32)
+    params = exp_utils.he_initialize(params, k_he)
+    with tempfile.TemporaryDirectory() as td:
+        mpath = Path(td) / "metrics.h5"
+        with HDF5Metrics(mpath) as ms:
+            runner = runner_cls(
+                model, (x_train, y_train), (x_test, y_test),
+                epochs_per_cycle=cfg["warmup"] + cfg["sample"],
+                warmup_epochs=cfg["warmup"], sample_epochs=cfg["sample"],
+                learning_rate=cfg["lr"], skip=1, metrics_skip=1,
+                sampling_decay=cfg["sampling_decay"], cycles=cfg["cycles"],
+                temperature=cfg["temperature"], momentum=cfg["momentum"],
+                precond_update=precond, reject_samples=reject,
+                batch_size=cfg["batch_size"], metrics_saver=ms,
+                init_params=params, init_model_state=mstate, key=k_run)
+            runner.run(progressbar=False)
+            samples = runner.get_samples()
+        if reject:
+            m = load_metrics(mpath)
+            rej = np.asarray(m["acceptance"]["rejected"], dtype=np.float64)
+            rej = rej[np.isfinite(rej) & (rej >= 0)]  # drop int64-NaN fill
+            acc_rate = float(1.0 - rej[1:].mean())
+        else:
+            acc_rate = float("nan")
+    result = evaluate_model(model, (x_test, jnp.asarray(y_test)), samples,
+                            likelihood_eval=True, accuracy_eval=True,
+                            calibration_eval=False)
+    wkeys = sorted(k for k in samples if k.endswith("weight_prior.p"))
+    wm, ws = pooled_moments(
+        np.concatenate([np.asarray(samples[k], dtype=np.float64).reshape(
+            samples[k].shape[0], -1) for k in wkeys], axis=1))
+    return {"lp_ensemble": result["lp_ensemble"],
+            "acc_ensemble": result["acc_ensemble"],
+            "accept_rate": acc_rate, "w_mean": wm, "w_std": ws}
+
+
+RUNNERS = {
+    "gaussian": (ref_gaussian, tpu_gaussian),
+    "uci_sgld": (lambda s: _ref_supervised(s, "uci_sgld"),
+                 lambda s: _tpu_supervised(s, "uci_sgld")),
+    "synth_reject": (lambda s: _ref_supervised(s, "synth_reject"),
+                     lambda s: _tpu_supervised(s, "synth_reject")),
+}
+
+# analytic targets (gaussian workload): the exact posterior moments
+ANALYTIC = {"gaussian": {"post_mean": GAUSS["mean"],
+                         "post_std": GAUSS["std"]}}
+
+
+# ---------------------------------------------------------------------------
+# comparison
+# ---------------------------------------------------------------------------
+
+def compare(ref_rows, tpu_rows, workload):
+    "per-metric two-sample z over seeds; returns list of row dicts"
+    out = []
+    keys = [k for k in ref_rows[0] if not math.isnan(ref_rows[0][k])]
+    for k in keys:
+        a = np.asarray([r[k] for r in ref_rows], dtype=np.float64)
+        b = np.asarray([r[k] for r in tpu_rows], dtype=np.float64)
+        se = math.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+        z = abs(a.mean() - b.mean()) / se if se > 0 else 0.0
+        row = {"workload": workload, "metric": k,
+               "ref_mean": a.mean(), "ref_sd": a.std(ddof=1),
+               "tpu_mean": b.mean(), "tpu_sd": b.std(ddof=1),
+               "z": z, "pass": bool(z < 3.0)}
+        target = ANALYTIC.get(workload, {}).get(k)
+        if target is not None:
+            row["analytic"] = target
+            for side, arr in (("ref", a), ("tpu", b)):
+                zs = abs(arr.mean() - target) / max(
+                    arr.std(ddof=1) / math.sqrt(len(arr)), 1e-12)
+                row[f"z_{side}_vs_analytic"] = zs
+                row["pass"] = row["pass"] and bool(zs < 4.0)
+        out.append(row)
+    return out
+
+
+def write_report(path, all_rows, seeds):
+    lines = [
+        "# Posterior-metric parity: torch reference vs bnn_priors_tpu",
+        "",
+        f"Generated by `experiments/parity_check.py` with {seeds} seeds per",
+        "side per workload, both frameworks on CPU float32. Criterion:",
+        "two-sample z over seeds < 3 (and < 4 vs the analytic value where",
+        "one exists). The reference is the actual upstream code at",
+        "/root/reference run through `experiments/_reference_shim.py`.",
+        "",
+        "| workload | metric | reference (mean ± sd) | this framework"
+        " (mean ± sd) | z | verdict |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in all_rows:
+        extra = ""
+        if "analytic" in r:
+            extra = (f" (analytic {r['analytic']:.4g}; z_ref="
+                     f"{r['z_ref_vs_analytic']:.2f},"
+                     f" z_tpu={r['z_tpu_vs_analytic']:.2f})")
+        lines.append(
+            f"| {r['workload']} | {r['metric']}{extra} "
+            f"| {r['ref_mean']:.4f} ± {r['ref_sd']:.4f} "
+            f"| {r['tpu_mean']:.4f} ± {r['tpu_sd']:.4f} "
+            f"| {r['z']:.2f} | {'PASS' if r['pass'] else 'FAIL'} |")
+    n_pass = sum(r["pass"] for r in all_rows)
+    lines += ["", f"**{n_pass}/{len(all_rows)} comparisons pass.**", ""]
+    Path(path).write_text("\n".join(lines))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--seeds", type=int, default=4)
+    p.add_argument("--workloads", default="gaussian,uci_sgld,synth_reject")
+    p.add_argument("--out", default=str(
+        Path(__file__).resolve().parent.parent / "PARITY_RESULTS.md"))
+    args = p.parse_args(argv)
+
+    all_rows = []
+    for wl in args.workloads.split(","):
+        ref_fn, tpu_fn = RUNNERS[wl]
+        ref_rows, tpu_rows = [], []
+        for s in range(args.seeds):
+            print(f"[{wl}] reference seed {s} ...", flush=True)
+            ref_rows.append(ref_fn(1000 + s))
+            print(f"  -> {json.dumps(ref_rows[-1])}", flush=True)
+            print(f"[{wl}] bnn_priors_tpu seed {s} ...", flush=True)
+            tpu_rows.append(tpu_fn(1000 + s))
+            print(f"  -> {json.dumps(tpu_rows[-1])}", flush=True)
+        all_rows.extend(compare(ref_rows, tpu_rows, wl))
+    write_report(args.out, all_rows, args.seeds)
+    for r in all_rows:
+        print(f"{r['workload']:>13s} {r['metric']:>12s} "
+              f"ref={r['ref_mean']:.4f}±{r['ref_sd']:.4f} "
+              f"tpu={r['tpu_mean']:.4f}±{r['tpu_sd']:.4f} z={r['z']:.2f} "
+              f"{'PASS' if r['pass'] else 'FAIL'}")
+    if not all(r["pass"] for r in all_rows):
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,7 +59,10 @@ DEFAULTS = dict(
     profile_dir=None,              # jax.profiler trace dir (one epoch)
     progressbar=True,
     seed=0,
-    n_chains=1,                    # vmapped parallel chains (TPU-native)
+    n_chains=1,                    # vmapped parallel chains (TPU-native):
+                                   # >1 dispatches to MultiChainRunner(Reject)
+                                   # with one run dir per chain
+    n_devices=None,                # chains mesh axis size (None = 1 device)
     log_dir=str(Path(__file__).resolve().parent.parent / "logs"),
 )
 
@@ -144,6 +147,10 @@ def _main_inner(cfg, run):
         params, model_state = new_params, new_state
         print(f"warm start: loaded {loaded} arrays", file=sys.stderr)
 
+    if int(cfg["n_chains"]) > 1:
+        return _run_multichain(cfg, run, data, model, params, model_state,
+                               x_train, y_train, x_test, y_test, k_he, k_run)
+
     # -- runner ------------------------------------------------------------
     # "HMC" = classical full-batch HMC with exact M-H: the reference
     # dispatches it to pyro's HMC over model.get_potential
@@ -216,6 +223,179 @@ def _main_inner(cfg, run):
     run.finish(result)
     print(json.dumps(result))
     return result
+
+
+def _run_multichain(cfg, run, data, model, loaded_params, model_state,
+                    x_train, y_train, x_test, y_test, k_he, k_run):
+    """n_chains > 1: the paper CLI over K vmapped (optionally mesh-sharded)
+    chains — MultiChainRunner(Reject). One reference-compatible run dir per
+    chain (config.json / samples.pt / metrics.h5 / run.json, the
+    sweep_tempering.py layout) so `eval_bnn.py` evaluates each chain dir
+    unchanged; the parent run records the pooled all-chain ensemble."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from bnn_priors_tpu import exp_utils
+    from bnn_priors_tpu.evaluate import evaluate_model
+    from bnn_priors_tpu.io import HDF5Metrics, HDF5ModelSaver, load_samples
+    from bnn_priors_tpu.parallel import (MultiChainRunner,
+                                         MultiChainRunnerReject)
+
+    n_chains = int(cfg["n_chains"])
+    reject_kernels = {"VerletSGLDReject": "VerletSGLD", "HMCReject": "HMC",
+                      "SGLDReject": "SGLD", "HMC": "HMC"}
+    plain_kernels = {"SGLD": "SGLD", "VerletSGLD": "VerletSGLD"}
+    assert cfg["inference"] in {**reject_kernels, **plain_kernels}, \
+        f"inference={cfg['inference']!r} not supported with n_chains>1 " \
+        f"(OurHMC needs per-epoch momentum refresh without M-H; use " \
+        f"HMCReject)"
+    is_reject = cfg["inference"] in reject_kernels
+    batch_size = int(cfg["batch_size"])
+    if cfg["inference"] == "HMC":  # classical HMC: exact full-data grads
+        batch_size = int(x_train.shape[0])
+        assert cfg["temperature"] == 1.0 and cfg["burnin"] == 0
+
+    assert (cfg["n_samples"] * cfg["skip"]) % cfg["cycles"] == 0
+    sample_epochs = cfg["n_samples"] * cfg["skip"] // cfg["cycles"]
+    epochs_per_cycle = cfg["warmup"] + cfg["burnin"] + sample_epochs
+
+    augment_fn = getattr(type(data), "augment_fn", None)
+    if augment_fn is not None:
+        augment_fn = getattr(data, "augment_fn")
+
+    # per-chain initial parameters: warm starts replicate the loaded
+    # sample; otherwise each chain gets an independent init_method draw
+    def init_params_fn(c, key):
+        if cfg["load_samples"] is not None:
+            return loaded_params
+        params, _ = model.init(jax.random.fold_in(key, 0),
+                               dtype=jnp.float32)
+        k_he_c = jax.random.fold_in(k_he, c)
+        if cfg["init_method"] == "he":
+            return exp_utils.he_initialize(params, k_he_c)
+        if cfg["init_method"] == "he_uniform":
+            return exp_utils.he_uniform_initialize(params, k_he_c)
+        if cfg["init_method"] == "he_zerobias":
+            return exp_utils.he_zerobias_initialize(params, k_he_c)
+        assert cfg["init_method"] == "prior", cfg["init_method"]
+        return params
+
+    devices = jax.devices()
+    n_dev = int(cfg["n_devices"] or 1)
+    mesh = None
+    if n_dev > 1:
+        assert n_chains % n_dev == 0, (n_chains, n_dev)
+        mesh = Mesh(np.asarray(devices[:n_dev]), ("chains",))
+
+    # one run dir per chain, samples streaming to disk
+    chain_runs, savers = [], []
+    for c in range(n_chains):
+        chain_cfg = {**cfg, "chain_index": c}
+        crun = RunDirectory(cfg["log_dir"], chain_cfg)
+        chain_runs.append(crun)
+        if cfg["save_samples"]:
+            savers.append(HDF5ModelSaver(crun.artifact("samples.pt")))
+
+    runner_cls = MultiChainRunnerReject if is_reject else MultiChainRunner
+    extra = {}
+    if is_reject:
+        extra["reject_samples"] = bool(cfg["reject_samples"]
+                                       or cfg["inference"] == "HMC")
+    try:
+        runner = runner_cls(
+            model, (x_train, jnp.asarray(y_train)), n_chains=n_chains,
+            temperatures=float(cfg["temperature"]),
+            kernel=(reject_kernels.get(cfg["inference"])
+                    or plain_kernels[cfg["inference"]]),
+            learning_rate=cfg["lr"], momentum=cfg["momentum"],
+            sampling_decay=cfg["sampling_decay"], batch_size=batch_size,
+            cycles=cfg["cycles"], epochs_per_cycle=epochs_per_cycle,
+            warmup_epochs=cfg["warmup"], sample_epochs=sample_epochs,
+            skip=cfg["skip"], precond_update=cfg["precond_update"],
+            mesh=mesh, key=k_run, augment_fn=augment_fn,
+            model_savers=savers or None, init_params_fn=init_params_fn,
+            **extra)
+        ckpt = (run.artifact("chains.ckpt.npz")
+                if cfg["checkpoint_every"] else None)
+        metrics_hist = runner.run(progressbar=cfg["progressbar"],
+                                  checkpoint_path=ckpt,
+                                  checkpoint_every=cfg["checkpoint_every"],
+                                  resume_from=cfg["resume_from"])
+    finally:
+        for s in savers:
+            s.close()
+
+    # per-chain metrics.h5: epoch-end diagnostics + M-H boundary rows
+    per_epoch = {k: np.stack([np.asarray(m[k]) for m in metrics_hist])
+                 for k in (metrics_hist[0] if metrics_hist else ())}
+    for c, crun in enumerate(chain_runs):
+        with HDF5Metrics(crun.artifact("metrics.h5")) as ms:
+            n_epochs = (per_epoch["potential"].shape[0] if per_epoch else 0)
+            for e in range(n_epochs):
+                ms.add_scalar("potential",
+                              float(per_epoch["potential"][e, c]), e)
+                ms.add_scalar("acc", float(per_epoch["acc"][e, c]), e)
+                ms.add_scalar("est_temperature/all",
+                              float(per_epoch["est_temperature"][e, c]), e)
+                ms.add_scalar("est_config_temp/all",
+                              float(per_epoch["est_config_temp"][e, c]), e)
+                ms.add_scalar("temperature", float(cfg["temperature"]), e)
+            if is_reject:
+                off = len(runner.rejections) - len(runner.boundary_metrics)
+                for b, bm in enumerate(runner.boundary_metrics):
+                    i = n_epochs + b
+                    ms.add_scalar("potential", float(bm["potential"][c]), i)
+                    ms.add_scalar("loss", float(bm["loss"][c]), i)
+                    ms.add_scalar("log_prior", float(bm["log_prior"][c]), i)
+                    ms.add_scalar(
+                        "delta_energy",
+                        float(runner.delta_energies[off + b][c]), i)
+                    ms.add_scalar("acceptance/is_sample", 1, i)
+                    ms.add_scalar("acceptance/rejected",
+                                  int(runner.rejections[off + b][c]), i)
+
+    # per-chain evaluation + pooled all-chain ensemble
+    results = []
+    pooled_banks = []
+    for c, crun in enumerate(chain_runs):
+        if c in runner.nan_chains:
+            res = {"diverged": True, "chain_index": c}
+            crun.finish(res)
+            results.append(res)
+            continue
+        if savers:
+            bank = load_samples(str(crun.dir / "samples.pt"))
+        else:
+            bank = runner.chain_samples(c)
+        n_saved = min(v.shape[0] for v in bank.values())
+        skip_first = min(cfg["skip_first"], n_saved - 1)
+        bank = {k: np.asarray(v)[skip_first:] for k, v in bank.items()}
+        pooled_banks.append(bank)
+        res = evaluate_model(model, (x_test, jnp.asarray(y_test)), bank,
+                             likelihood_eval=True, accuracy_eval=True,
+                             calibration_eval=False)
+        res["chain_index"] = c
+        if is_reject and extra.get("reject_samples"):
+            res["acceptance"] = float(runner.acceptance_rates()[c])
+        crun.finish(res)
+        results.append(res)
+        print(json.dumps(res))
+
+    pooled = {}
+    if pooled_banks:
+        all_bank = {k: np.concatenate([b[k] for b in pooled_banks])
+                    for k in pooled_banks[0]}
+        pooled = evaluate_model(model, (x_test, jnp.asarray(y_test)),
+                                all_bank, likelihood_eval=True,
+                                accuracy_eval=True, calibration_eval=False)
+    summary = {"chains": results, "pooled": pooled,
+               "chain_dirs": [str(r.dir) for r in chain_runs],
+               "n_diverged": len(runner.nan_chains)}
+    run.finish(summary)
+    print(json.dumps(summary))
+    return summary
 
 
 if __name__ == "__main__":

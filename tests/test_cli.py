@@ -1,0 +1,111 @@
+"""CLI-level tests: train_bnn n_chains>1 dispatch (per-chain run dirs,
+eval_bnn compatibility) and the sweep_tempering end-to-end artifact
+contract (per-chain dirs + collect_runs round-trip)."""
+import importlib.util
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _load(name):
+    spec = importlib.util.spec_from_file_location(
+        name, REPO / "experiments" / f"{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture()
+def small_random_data(monkeypatch):
+    "shrink the `random` dataset so CLI runs finish in seconds"
+    from bnn_priors_tpu import exp_utils
+    from bnn_priors_tpu.data import RandomData
+    real = exp_utils.get_data
+
+    def fake(name, *a, **kw):
+        if name == "random":
+            return RandomData(dim=4, n_points=96, seed=0)
+        return real(name, *a, **kw)
+    monkeypatch.setattr(exp_utils, "get_data", fake)
+
+
+def test_train_bnn_multichain_dispatch(tmp_path, small_random_data):
+    """`n_chains>1` reaches MultiChainRunnerReject from the paper CLI:
+    per-chain run dirs with the full artifact contract, per-chain +
+    pooled results, and eval_bnn reproducing a chain's result from its
+    dir unchanged (VERDICT r2 item 3)."""
+    train_bnn = _load("train_bnn")
+    eval_bnn = _load("eval_bnn")
+
+    cfg = dict(train_bnn.DEFAULTS)
+    cfg.update(data="random", model="densenet", inference="VerletSGLDReject",
+               reject_samples=True, n_chains=2, cycles=2, warmup=1, burnin=0,
+               n_samples=4, skip=1, skip_first=0, batch_size=16, lr=1e-3,
+               metrics_skip=1, device="cpu", progressbar=False,
+               log_dir=str(tmp_path / "logs"))
+    summary = train_bnn.main(cfg)
+
+    assert len(summary["chains"]) == 2
+    assert summary["n_diverged"] == 0
+    assert {"lp_ensemble", "acc_ensemble"} <= set(summary["pooled"])
+    for c, d in enumerate(summary["chain_dirs"]):
+        d = Path(d)
+        for artifact in ("config.json", "run.json", "samples.pt",
+                         "metrics.h5"):
+            assert (d / artifact).exists(), (c, artifact)
+        chain_cfg = json.loads((d / "config.json").read_text())
+        assert chain_cfg["chain_index"] == c
+        rj = json.loads((d / "run.json").read_text())
+        assert rj["status"] == "COMPLETED"
+        assert "acceptance" in rj["result"]
+
+    # eval_bnn re-evaluates a chain dir unchanged and matches its result
+    ecfg = dict(eval_bnn.DEFAULTS)
+    ecfg.update(config_file=str(Path(summary["chain_dirs"][0]) /
+                                "config.json"),
+                skip_first=0, device="cpu",
+                log_dir=str(tmp_path / "logs_eval"))
+    res = eval_bnn.main(ecfg)
+    np.testing.assert_allclose(res["lp_ensemble"],
+                               summary["chains"][0]["lp_ensemble"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(res["acc_ensemble"],
+                               summary["chains"][0]["acc_ensemble"],
+                               rtol=1e-6)
+
+
+def test_sweep_tempering_end_to_end(tmp_path, small_random_data):
+    """sweep_tempering with a toy 2-temperature x 2-replicate grid: one
+    run dir per chain, results per (temperature, replicate), and
+    notebook_utils.collect_runs round-trips the grid (VERDICT r2 item
+    10)."""
+    sweep = _load("sweep_tempering")
+    from bnn_priors_tpu import notebook_utils
+
+    cfg = dict(sweep.DEFAULTS)
+    cfg.update(data="random", model="densenet", inference="VerletSGLDReject",
+               temperatures=[0.01, 1.0], replicates=2, cycles=2, warmup=1,
+               burnin=0, n_samples=4, skip=1, skip_first=0, batch_size=16,
+               lr=1e-3, device="cpu", progressbar=False, n_devices=4,
+               log_dir=str(tmp_path / "sweep"))
+    results = sweep.main(cfg)
+    assert len(results) == 4
+    temps = sorted(r["temperature"] for r in results)
+    assert temps == [0.01, 0.01, 1.0, 1.0]
+    assert all("lp_ensemble" in r and "acceptance" in r for r in results)
+
+    df = notebook_utils.collect_runs(tmp_path / "sweep")
+    assert len(df) == 4
+    assert set(df["temperature"]) == {0.01, 1.0}
+    assert set(df["replicate"]) == {0, 1}
+    assert "result.lp_ensemble" in df.columns
+    # each run dir carries the full artifact contract
+    for d in (tmp_path / "sweep").iterdir():
+        if d.is_dir():
+            assert (d / "samples.pt").exists()
+            assert (d / "metrics.h5").exists()
