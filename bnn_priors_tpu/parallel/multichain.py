@@ -25,6 +25,7 @@ from .. import mcmc
 from ..inference.reject import exact_potential_and_grad
 from ..inference.schedules import make_schedule
 from .chains import init_chains_diverse
+from .distributed import host_value, local_chain_rows, put_chains
 
 
 class MultiChainRunner:
@@ -93,17 +94,32 @@ class MultiChainRunner:
             lambda v: jnp.broadcast_to(v, (self.n_chains,) + v.shape).copy(),
             model_state)
         if mesh is not None:
-            sh = NamedSharding(mesh, P("chains"))
-            self.states = jax.device_put(self.states, sh)
-            self.model_states = jax.device_put(self.model_states, sh)
+            self.states = put_chains(self.states, mesh)
+            self.model_states = put_chains(self.model_states, mesh)
+        # multi-host (jax.distributed): this process owns only the chains
+        # on its local devices — sample streaming is rank-aware (each host
+        # writes its own chains' banks), diagnostics use tiny replicated
+        # gathers (distributed.host_value)
+        self._multiprocess = mesh is not None and jax.process_count() > 1
+        if self._multiprocess:
+            self.local_chains = sorted(
+                local_chain_rows(self.states.position).keys())
+        else:
+            self.local_chains = list(range(self.n_chains))
         # optional list of per-chain HDF5ModelSaver-like objects: samples
         # stream to disk instead of accumulating in host memory (a 300-
-        # sample ResNet sweep would otherwise hold tens of GB)
+        # sample ResNet sweep would otherwise hold tens of GB). On
+        # multi-host runs, entries for chains NOT local to this process
+        # may be None (they are never touched here).
         assert model_savers is None or len(model_savers) == self.n_chains
         self.model_savers = model_savers
         self._samples = []
         self._epoch_fn = None
         self.nan_chains: set = set()
+
+    def _host(self, tree):
+        "device->host; works for multi-host global arrays (tiny gathers)"
+        return host_value(tree, self.mesh if self._multiprocess else None)
 
     # -- jitted epoch ------------------------------------------------------
     def _build_epoch_fn(self):
@@ -177,17 +193,28 @@ class MultiChainRunner:
         """Snapshot ALL chains' full state (positions, momenta, RMSProp
         EMAs, preconditioners, rollback slots, PRNG keys) + loop metadata.
         In-memory sample history is NOT checkpointed — stream samples with
-        `model_savers` for resumable banks."""
+        `model_savers` for resumable banks. Multi-host: every process
+        participates in the gather, rank 0 writes the file."""
         from ..io import save_chain_checkpoint
-        save_chain_checkpoint(path, self.states, self.model_states, self.key,
-                              self._checkpoint_meta(next_epoch_index, step))
+        # ALL processes run the gathers (collectives must match across
+        # ranks — _checkpoint_meta gathers too); only rank 0 writes
+        meta = self._checkpoint_meta(next_epoch_index, step)
+        states = self._host(self.states)
+        mstates = self._host(dict(self.model_states))
+        if jax.process_index() == 0:
+            save_chain_checkpoint(path, states, mstates, self.key, meta)
 
     def restore_checkpoint(self, path):
-        "returns (next_epoch_index, step); trajectory continues bit-for-bit"
+        """returns (next_epoch_index, step); trajectory continues
+        bit-for-bit. Multi-host: every process loads the file (shared
+        filesystem) and re-places the state on the global mesh."""
         from ..io import load_chain_checkpoint
         self.states, self.model_states, self.key, meta = \
             load_chain_checkpoint(path, self.states, self.model_states,
                                   self.key)
+        if self.mesh is not None:
+            self.states = put_chains(self.states, self.mesh)
+            self.model_states = put_chains(self.model_states, self.mesh)
         return self._restore_meta(meta)
 
     def run(self, progressbar=False, resume_from=None, checkpoint_path=None,
@@ -216,8 +243,8 @@ class MultiChainRunner:
                 self.states, self.model_states, idxs,
                 jnp.asarray(step), temps, self.train_x, self.train_y)
             step += self.n_full
-            metrics_hist.append(jax.tree_util.tree_map(
-                lambda a: np.asarray(a[-1]), ms))
+            metrics_hist.append(self._host(jax.tree_util.tree_map(
+                lambda a: a[-1], ms)))
             self._check_finite(metrics_hist[-1]["potential"])
             if (self.precond_update is not None
                     and epoch % self.precond_update == 0):
@@ -228,9 +255,8 @@ class MultiChainRunner:
                     self._stream_sample(step)
                 else:
                     self._samples.append(
-                        (np.asarray(self.states.position),
-                         {k: np.asarray(v) for k, v in
-                          self.model_states.items()}, step))
+                        (self._host(self.states.position),
+                         self._host(dict(self.model_states)), step))
             if (checkpoint_path is not None and checkpoint_every is not None
                     and (e + 1) % checkpoint_every == 0):
                 self.save_checkpoint(checkpoint_path, e + 1, step)
@@ -248,17 +274,21 @@ class MultiChainRunner:
                               "(diverged; its samples will be unusable)")
 
     def _stream_sample(self, step):
-        positions = np.asarray(self.states.position)
-        mstates = {k: np.asarray(v) for k, v in self.model_states.items()}
-        for c, saver in enumerate(self.model_savers):
-            if c in self.nan_chains:
+        # rank-aware: each process writes ONLY its local chains' banks
+        # (no cross-host sample traffic; the multi-host scale-out story)
+        pos_rows = local_chain_rows(self.states.position)
+        ms_rows = {k: local_chain_rows(v)
+                   for k, v in self.model_states.items()}
+        for c in self.local_chains:
+            saver = self.model_savers[c]
+            if saver is None or c in self.nan_chains:
                 # quarantined: a diverged chain's samples must not land
                 # in the on-disk bank where post-hoc eval would silently
                 # ensemble NaNs
                 continue
-            params = self.kernel.unpack(jnp.asarray(positions[c]))
+            params = self.kernel.unpack(jnp.asarray(pos_rows[c]))
             sd = {k: np.asarray(v) for k, v in params.items()}
-            sd.update({k: v[c] for k, v in mstates.items()})
+            sd.update({k: rows[c] for k, rows in ms_rows.items()})
             saver.add_state_dict(sd, step=step)
 
     def _sample_momentum_all(self):
@@ -433,7 +463,7 @@ class MultiChainRunnerReject(MultiChainRunner):
     # -- checkpoint extras ---------------------------------------------------
     def _checkpoint_meta(self, next_e, step):
         meta = super()._checkpoint_meta(next_e, step)
-        meta["initial_pots"] = np.asarray(self._initial_pots)
+        meta["initial_pots"] = self._host(self._initial_pots)
         meta["precond_pending"] = self._precond_pending
         meta["perm_key"] = np.asarray(jax.random.key_data(self._perm_key))
         if self.rejections:
@@ -494,8 +524,8 @@ class MultiChainRunnerReject(MultiChainRunner):
                 self.states, self.model_states, idxs,
                 jnp.asarray(step), temps, self.train_x, self.train_y)
             step += self.n_full
-            metrics_hist.append(jax.tree_util.tree_map(
-                lambda a: np.asarray(a[-1]), ms))
+            metrics_hist.append(self._host(jax.tree_util.tree_map(
+                lambda a: a[-1], ms)))
             self._check_finite(metrics_hist[-1]["potential"])
             precond_due = (self.precond_update is not None
                            and (epoch + 1) % self.precond_update == 0)
@@ -505,19 +535,17 @@ class MultiChainRunnerReject(MultiChainRunner):
                     self.states, self.model_states,
                     jnp.asarray(step - 1), temps, self._initial_pots,
                     self.train_x, self.train_y)
-                self.delta_energies.append(np.asarray(de))
-                self.rejections.append(np.asarray(rejected))
-                self.boundary_metrics.append(jax.tree_util.tree_map(
-                    np.asarray, bm))
+                self.delta_energies.append(self._host(de))
+                self.rejections.append(self._host(rejected))
+                self.boundary_metrics.append(self._host(bm))
                 # sample AFTER maybe_reject: stored samples are already
                 # correctly rolled back (inference_reject.py:140-146)
                 if self.model_savers is not None:
                     self._stream_sample(step)
                 else:
                     self._samples.append(
-                        (np.asarray(self.states.position),
-                         {k: np.asarray(v) for k, v in
-                          self.model_states.items()}, step))
+                        (self._host(self.states.position),
+                         self._host(dict(self.model_states)), step))
                 # When rejecting, preconditioner updates apply only
                 # BETWEEN segments (after maybe_reject, before
                 # initial_step) so M stays constant within every M-H

@@ -59,6 +59,13 @@ DEFAULTS = dict(
     save_samples=True,
     progressbar=True,
     log_dir=str(Path(__file__).resolve().parent.parent / "logs_sweep"),
+    # multi-host (SURVEY §5.8): run the SAME command on every host with
+    # num_processes=N process_id=<rank> coordinator_address=host:port;
+    # the chains mesh then spans all hosts and each host streams its own
+    # chains' sample banks (rank-aware writers).
+    coordinator_address=None,
+    num_processes=None,
+    process_id=None,
 )
 
 
@@ -66,6 +73,10 @@ def main(cfg):
     import jax
     if cfg["device"] == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    from bnn_priors_tpu.parallel import distributed
+    # multi-host: must run before the first jax computation; afterwards
+    # jax.devices() is the GLOBAL device set spanning all hosts
+    distributed.initialize_from_config(cfg)
     import jax.numpy as jnp
     import numpy as np
     from jax.sharding import Mesh
@@ -98,12 +109,16 @@ def main(cfg):
     chain_temps = jnp.asarray(temps * reps, jnp.float32)
     n_chains = len(temps) * reps
 
-    devices = jax.devices()
+    devices = jax.devices()  # global set when jax.distributed is up
     n_dev = cfg["n_devices"] or len(devices)
     mesh = None
+    local_chains = list(range(n_chains))
     if n_dev > 1:
         assert n_chains % n_dev == 0, (n_chains, n_dev)
         mesh = Mesh(np.asarray(devices[:n_dev]), ("chains",))
+        if jax.process_count() > 1:
+            local_chains = distributed.local_chain_indices_for_mesh(
+                mesh, n_chains)
 
     assert (cfg["n_samples"] * cfg["skip"]) % cfg["cycles"] == 0
     sample_epochs = cfg["n_samples"] * cfg["skip"] // cfg["cycles"]
@@ -114,17 +129,24 @@ def main(cfg):
         augment_fn = getattr(data, "augment_fn")
 
     # one reference-compatible run dir per chain, created up front so the
-    # sample banks STREAM to disk as the sweep runs (no host-memory blowup)
-    runs, savers = [], []
+    # sample banks STREAM to disk as the sweep runs (no host-memory
+    # blowup). Multi-host: each process creates dirs/savers ONLY for the
+    # chains it owns (rank-aware writers; dir numbering is mkdir-atomic).
+    runs, savers = {}, []
     for c in range(n_chains):
+        if c not in local_chains:
+            savers.append(None)
+            continue
         r, t = divmod(c, len(temps))
         chain_cfg = {**cfg, "temperature": temps[t], "replicate": r,
                      "chain_index": c, "n_chains": n_chains,
                      "temperatures": temps}
         run = RunDirectory(cfg["log_dir"], chain_cfg)
-        runs.append(run)
-        if cfg["save_samples"]:
-            savers.append(HDF5ModelSaver(run.artifact("samples.pt")))
+        runs[c] = run
+        savers.append(HDF5ModelSaver(run.artifact("samples.pt"))
+                      if cfg["save_samples"] else None)
+    if not cfg["save_samples"]:
+        savers = []
 
     # reject variants: the paper's exact-gradient M-H algorithm per chain
     reject_kernels = {"VerletSGLDReject": "VerletSGLD", "HMCReject": "HMC",
@@ -151,7 +173,8 @@ def main(cfg):
                                   resume_from=cfg["resume_from"])
     finally:
         for s in savers:
-            s.close()
+            if s is not None:
+                s.close()
 
     # per-chain metrics.h5 (epoch-end diagnostics): feeds the tempering
     # plots (plot.temperature_stderr on the /all aggregates) + collect_runs
@@ -159,7 +182,7 @@ def main(cfg):
     # metrics_hist may be empty when resuming at/after the final epoch
     per_epoch = {k: np.stack([np.asarray(m[k]) for m in metrics_hist])
                  for k in (metrics_hist[0] if metrics_hist else ())}
-    for c, run in enumerate(runs):
+    for c, run in runs.items():
         with HDF5Metrics(run.artifact("metrics.h5")) as ms:
             n_epochs = (per_epoch["potential"].shape[0]
                         if per_epoch else 0)
@@ -190,7 +213,7 @@ def main(cfg):
                                   int(runner.rejections[off + b][c]), i)
 
     results = []
-    for c, run in enumerate(runs):
+    for c, run in sorted(runs.items()):
         r, t = divmod(c, len(temps))
         if savers:
             bank = load_samples(str(run.dir / "samples.pt"))

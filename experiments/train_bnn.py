@@ -63,6 +63,11 @@ DEFAULTS = dict(
                                    # >1 dispatches to MultiChainRunner(Reject)
                                    # with one run dir per chain
     n_devices=None,                # chains mesh axis size (None = 1 device)
+    # multi-host (SURVEY §5.8): same command on every host with
+    # num_processes=N process_id=<rank> coordinator_address=host:port
+    coordinator_address=None,
+    num_processes=None,
+    process_id=None,
     log_dir=str(Path(__file__).resolve().parent.parent / "logs"),
 )
 
@@ -71,6 +76,8 @@ def main(cfg):
     import jax
     if cfg["device"] == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    from bnn_priors_tpu.parallel import distributed
+    distributed.initialize_from_config(cfg)  # no-op unless num_processes>1
     import jax.numpy as jnp
     import numpy as np
 
@@ -282,21 +289,32 @@ def _run_multichain(cfg, run, data, model, loaded_params, model_state,
         assert cfg["init_method"] == "prior", cfg["init_method"]
         return params
 
-    devices = jax.devices()
+    from bnn_priors_tpu.parallel import distributed
+    devices = jax.devices()  # global set when jax.distributed is up
     n_dev = int(cfg["n_devices"] or 1)
     mesh = None
+    local_chains = list(range(n_chains))
     if n_dev > 1:
         assert n_chains % n_dev == 0, (n_chains, n_dev)
         mesh = Mesh(np.asarray(devices[:n_dev]), ("chains",))
+        if jax.process_count() > 1:
+            local_chains = distributed.local_chain_indices_for_mesh(
+                mesh, n_chains)
 
-    # one run dir per chain, samples streaming to disk
-    chain_runs, savers = [], []
+    # one run dir per chain, samples streaming to disk; multi-host: each
+    # process creates dirs/savers only for the chains it owns
+    chain_runs, savers = {}, []
     for c in range(n_chains):
+        if c not in local_chains:
+            savers.append(None)
+            continue
         chain_cfg = {**cfg, "chain_index": c}
         crun = RunDirectory(cfg["log_dir"], chain_cfg)
-        chain_runs.append(crun)
-        if cfg["save_samples"]:
-            savers.append(HDF5ModelSaver(crun.artifact("samples.pt")))
+        chain_runs[c] = crun
+        savers.append(HDF5ModelSaver(crun.artifact("samples.pt"))
+                      if cfg["save_samples"] else None)
+    if not cfg["save_samples"]:
+        savers = []
 
     runner_cls = MultiChainRunnerReject if is_reject else MultiChainRunner
     extra = {}
@@ -325,12 +343,13 @@ def _run_multichain(cfg, run, data, model, loaded_params, model_state,
                                   resume_from=cfg["resume_from"])
     finally:
         for s in savers:
-            s.close()
+            if s is not None:
+                s.close()
 
     # per-chain metrics.h5: epoch-end diagnostics + M-H boundary rows
     per_epoch = {k: np.stack([np.asarray(m[k]) for m in metrics_hist])
                  for k in (metrics_hist[0] if metrics_hist else ())}
-    for c, crun in enumerate(chain_runs):
+    for c, crun in chain_runs.items():
         with HDF5Metrics(crun.artifact("metrics.h5")) as ms:
             n_epochs = (per_epoch["potential"].shape[0] if per_epoch else 0)
             for e in range(n_epochs):
@@ -356,10 +375,10 @@ def _run_multichain(cfg, run, data, model, loaded_params, model_state,
                     ms.add_scalar("acceptance/rejected",
                                   int(runner.rejections[off + b][c]), i)
 
-    # per-chain evaluation + pooled all-chain ensemble
+    # per-chain evaluation + pooled ensemble over this host's chains
     results = []
     pooled_banks = []
-    for c, crun in enumerate(chain_runs):
+    for c, crun in sorted(chain_runs.items()):
         if c in runner.nan_chains:
             res = {"diverged": True, "chain_index": c}
             crun.finish(res)
@@ -391,7 +410,8 @@ def _run_multichain(cfg, run, data, model, loaded_params, model_state,
                                 all_bank, likelihood_eval=True,
                                 accuracy_eval=True, calibration_eval=False)
     summary = {"chains": results, "pooled": pooled,
-               "chain_dirs": [str(r.dir) for r in chain_runs],
+               "chain_dirs": [str(chain_runs[c].dir)
+                              for c in sorted(chain_runs)],
                "n_diverged": len(runner.nan_chains)}
     run.finish(summary)
     print(json.dumps(summary))

@@ -75,7 +75,8 @@ def test_reversible(N=10):
 
 
 def test_distribution_preservation(n_vars=50, n_dim=1000, n_samples=100,
-                                   momentum_resample=4, seed=123):
+                                   momentum_resample=4, seed=123,
+                                   store_success=False):
     mean, std = 1.0, 2.0
     lr = 1 / 32
     model = GaussianModel(N=n_vars, D=n_dim, mean=mean, std=std)
@@ -125,7 +126,7 @@ def test_distribution_preservation(n_vars=50, n_dim=1000, n_samples=100,
         else:
             state, _ = mid(state, grads)
 
-    assert sum_acceptance / n_acceptance > 0.6
+    checks = {"acceptance>0.6": sum_acceptance / n_acceptance > 0.6}
 
     params_out = kernel.params_of(state)
     parameters = np.concatenate(
@@ -135,13 +136,41 @@ def test_distribution_preservation(n_vars=50, n_dim=1000, n_samples=100,
 
     stat, crit, sig = scipy.stats.anderson(parameters, dist="norm")[:3]
     assert sig[0] == 15
-    assert stat < crit[0]
+    checks["anderson_normal_p15"] = bool(stat < crit[0])
 
     def norm_cdf(x):
         return scipy.stats.norm.cdf(x, loc=mean, scale=std)
-    assert scipy.stats.ks_1samp(parameters, norm_cdf, mode="asymp").pvalue >= 0.3
+    checks["ks_normal_p30"] = bool(scipy.stats.ks_1samp(
+        parameters, norm_cdf, mode="asymp").pvalue >= 0.3)
 
     def chi2_cdf(x):
         return scipy.stats.chi2.cdf(x, df=n_dim, loc=0.0, scale=1 / n_dim)
-    assert scipy.stats.ks_1samp(config_temp, chi2_cdf, mode="exact").pvalue >= 0.3
-    assert scipy.stats.ks_1samp(kinetic_temp, chi2_cdf, mode="exact").pvalue >= 0.3
+    checks["ks_config_temp_p30"] = bool(scipy.stats.ks_1samp(
+        config_temp, chi2_cdf, mode="exact").pvalue >= 0.3)
+    checks["ks_kinetic_temp_p30"] = bool(scipy.stats.ks_1samp(
+        kinetic_temp, chi2_cdf, mode="exact").pvalue >= 0.3)
+    if store_success:
+        return checks
+    for name, ok in checks.items():
+        assert ok, f"{name} failed (seed={seed}; see __main__ calibration)" 
+
+
+if __name__ == "__main__":
+    # Flake-rate calibration (reference testing/test_verlet_sgld.py:214-247
+    # pattern). Measured 2026-08-20 (seeds 0-39, CPU float64):
+    #   acceptance>0.6        40/40 (100%)
+    #   anderson_normal_p15   34/40 (85%)
+    #   ks_normal_p30         24/40 (60%)
+    #   ks_config_temp_p30    29/40 (72%)
+    #   ks_kinetic_temp_p30   28/40 (70%)
+    # CI pins seed=123, for which all checks pass with margin.
+    import sys
+    from collections import defaultdict
+    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    succ = defaultdict(int)
+    for seed in range(n_seeds):
+        for k, v in test_distribution_preservation(
+                seed=seed, store_success=True).items():
+            succ[k] += int(v)
+    for k, v in succ.items():
+        print(f"{k}: {v}/{n_seeds} ({100 * v / n_seeds:.0f}%)")
