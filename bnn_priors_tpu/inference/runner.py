@@ -311,7 +311,12 @@ class SGLDRunner:
         if resume_from is not None:
             start_e, step = self.restore_checkpoint(resume_from)
         else:
-            # initial momentum refresh (reference inference.py:120)
+            # initial momentum refresh at self.temperature — even when the
+            # first epochs are descent (T=0) epochs. Verified against the
+            # reference: it constructs the optimizer with
+            # temperature=self.temperature (inference.py:94) and calls
+            # sample_momentum() (inference.py:120) BEFORE the epoch loop
+            # lowers the group temperature to 0 (inference.py:142).
             self.chain = self.kernel.sample_momentum(self.chain,
                                                      self.temperature)
         total_epochs = self.cycles * self.epochs_per_cycle
