@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.stats
 
+from _stat_utils import anderson_normal_p15
+
 from bnn_priors_tpu.mcmc import VerletSGLD
 from bnn_priors_tpu.models import GaussianModel, NealFunnelT
 
@@ -77,9 +79,7 @@ def test_distribution_preservation(n_vars=50, n_dim=1000, n_samples=200,
     kinetic_temp = np.asarray([metrics["est_temperature"][k] for k in params_out])
     config_temp = np.asarray([metrics["est_config_temp"][k] for k in params_out])
 
-    stat, crit, sig = scipy.stats.anderson(parameters, dist="norm")[:3]
-    assert sig[0] == 15
-    checks["anderson_normal_p15"] = bool(stat < crit[0])
+    checks["anderson_normal_p15"] = anderson_normal_p15(parameters)
 
     def norm_cdf(x):
         return scipy.stats.norm.cdf(x, loc=mean, scale=std * temperature ** 0.5)
