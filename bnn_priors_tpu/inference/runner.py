@@ -55,7 +55,7 @@ class SGLDRunner:
                  init_params=None, init_model_state=None, key=None,
                  checkpoint_path=None, checkpoint_every=None,
                  profile_dir=None, profile_epoch=1,
-                 matmul_precision=None):
+                 matmul_precision=None, compute_dtype=None):
         self.model = model
         self.train_x, self.train_y = train_data
         if test_data is not None:
@@ -104,6 +104,11 @@ class SGLDRunner:
         # measured grad error 5e-2 relative, 5x below the minibatch noise
         # SG-MCMC is built to tolerate. None = leave the JAX default.
         self.matmul_precision = matmul_precision
+        # e.g. 'bfloat16': run the net forward/backward in reduced
+        # precision (params+inputs cast down, likelihood/prior reductions
+        # stay f32) — see models/base.py log_likelihood(compute_dtype=...).
+        self.compute_dtype = (jnp.dtype(compute_dtype)
+                              if compute_dtype is not None else None)
 
         self.n_full = self.N // self.batch_size
         self.tail = self.N - self.n_full * self.batch_size
@@ -145,7 +150,8 @@ class SGLDRunner:
             xb = self.augment_fn(aug_key, xb)
         params = self.kernel.unpack(position)
         fn = self.model.potential_avg_fn(model_state, xb, yb,
-                                         self.eff_num_data, train=True)
+                                         self.eff_num_data, train=True,
+                                         compute_dtype=self.compute_dtype)
         (pot, (new_model_state, aux)), grads = jax.value_and_grad(
             fn, has_aux=True)(params)
         g = jnp.clip(self.kernel.pack(grads), -self.grad_max, self.grad_max)

@@ -151,12 +151,30 @@ class Model(Module):
 
     # -- potential ---------------------------------------------------------
     def log_likelihood(self, params, state, x, y, eff_num_data, train=False,
-                       mask: Optional[Array] = None):
+                       mask: Optional[Array] = None, compute_dtype=None):
         """Unbiased minibatch estimate of log p(y | x, params)
         (reference models/base.py:42-62). `mask` supports padded batches:
         masked-out rows contribute 0 and the scaling divides by the true
-        batch size."""
-        f, new_state = self.net_apply(params, state, x, train)
+        batch size.
+
+        `compute_dtype` (e.g. ``jnp.bfloat16``) runs the *net forward* in
+        reduced precision — the TPU-native mixed-precision scheme: params
+        and inputs are cast down for the conv/matmul-heavy net, while the
+        likelihood itself, its reduction, and the prior stay in the
+        parameter dtype. Gradients w.r.t. the original params flow through
+        the casts (standard mixed precision); the resulting gradient error
+        is far below the minibatch noise SG-MCMC already tolerates."""
+        if compute_dtype is not None and compute_dtype != x.dtype:
+            def down(v):
+                return (v.astype(compute_dtype)
+                        if jnp.issubdtype(v.dtype, jnp.floating) else v)
+            f, new_state = self.net_apply(
+                jax.tree_util.tree_map(down, params), state, down(x), train)
+            f = f.astype(x.dtype)
+            new_state = {k: v.astype(state[k].dtype) for k, v in
+                         new_state.items()}
+        else:
+            f, new_state = self.net_apply(params, state, x, train)
         lps = self.likelihood_log_prob(params, f, y)
         if mask is not None:
             lps = lps * mask
@@ -167,15 +185,16 @@ class Model(Module):
         return ll, new_state, f
 
     def potential(self, params, state, x, y, eff_num_data, train=False,
-                  mask: Optional[Array] = None):
+                  mask: Optional[Array] = None, compute_dtype=None):
         ll, new_state, _ = self.log_likelihood(
-            params, state, x, y, eff_num_data, train, mask)
+            params, state, x, y, eff_num_data, train, mask, compute_dtype)
         return -(ll + self.log_prior(params)), new_state
 
     def potential_avg(self, params, state, x, y, eff_num_data, train=False,
-                      mask: Optional[Array] = None):
+                      mask: Optional[Array] = None, compute_dtype=None):
         "-log p(y, params | x) / eff_num_data — what the samplers differentiate"
-        ll, new_state, _ = self.log_likelihood(params, state, x, y, 1.0, train, mask)
+        ll, new_state, _ = self.log_likelihood(params, state, x, y, 1.0,
+                                               train, mask, compute_dtype)
         return -(ll + self.log_prior(params) / eff_num_data), new_state
 
     def split_potential_and_acc(self, params, state, x, y, eff_num_data,
@@ -206,13 +225,13 @@ class Model(Module):
         return potential_fn
 
     def potential_avg_fn(self, state, x, y, eff_num_data, train=True,
-                         mask: Optional[Array] = None):
+                         mask: Optional[Array] = None, compute_dtype=None):
         """The closure the SG-MCMC kernels differentiate:
         params -> (potential_avg, (new_state, aux))."""
 
         def fn(params):
             ll_avg, new_state, f = self.log_likelihood(
-                params, state, x, y, 1.0, train, mask)
+                params, state, x, y, 1.0, train, mask, compute_dtype)
             loss = -ll_avg
             log_prior = self.log_prior(params)
             pot = loss - log_prior / eff_num_data

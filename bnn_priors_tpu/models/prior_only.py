@@ -25,7 +25,7 @@ class PriorOnlyModel(Model):
         return jnp.zeros(1)
 
     def log_likelihood(self, params, state, x, y, eff_num_data, train=False,
-                       mask=None):
+                       mask=None, compute_dtype=None):
         return jnp.asarray(0.0), state, None
 
     def acc_fn(self, f, y, params):
@@ -35,7 +35,7 @@ class PriorOnlyModel(Model):
         return f
 
     def potential_avg_fn(self, state=None, x=None, y=None, eff_num_data=1.0,
-                         train=False, mask=None):
+                         train=False, mask=None, compute_dtype=None):
         "params -> (-log_prior/eff_num_data, aux); kernel-level test closure"
 
         def fn(params):

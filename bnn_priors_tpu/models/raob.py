@@ -49,7 +49,9 @@ class RaoBRegressionModel(RegressionModel):
         return N * math.log(2 * math.pi) + (N - n_feat) * jnp.log(sig) + tr_yy
 
     def log_likelihood(self, params, state, x, y, eff_num_data, train=False,
-                       mask=None):
+                       mask=None, compute_dtype=None):
+        # compute_dtype accepted for API parity, ignored: the RaoB
+        # marginal-likelihood path is numerically delicate (f64 Woodbury)
         "Marginal likelihood of the training set (always the full set)."
         f, new_state = self.net_apply(params, state, self.x_train, train)
         y_tr = self.y_train

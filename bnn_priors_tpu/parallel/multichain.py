@@ -42,7 +42,7 @@ class MultiChainRunner:
                  skip=1, grad_max=1e6, precond_update=None,
                  data_mult=1.0, mesh: Optional[Mesh] = None, key=None,
                  dtype=jnp.float32, augment_fn=None, model_savers=None,
-                 init_params_fn=None):
+                 init_params_fn=None, compute_dtype=None):
         self.model = model
         self.train_x, self.train_y = train_data
         self.n_chains = int(n_chains)
@@ -61,6 +61,11 @@ class MultiChainRunner:
         self.learning_rate = learning_rate
         self.mesh = mesh
         self.augment_fn = augment_fn
+        # e.g. 'bfloat16': mixed-precision net forward/backward for the
+        # minibatch steps (models/base.py log_likelihood); the exact-grad
+        # M-H boundary (reject.py) always stays full precision.
+        self.compute_dtype = (jnp.dtype(compute_dtype)
+                              if compute_dtype is not None else None)
         self.schedule = make_schedule(
             sampling_decay, self.n_full * epochs_per_cycle,
             steps_per_stair=150 * self.n_full)
@@ -127,6 +132,7 @@ class MultiChainRunner:
         lr0, schedule = self.learning_rate, self.schedule
         grad_max, eff = self.grad_max, self.eff_num_data
         augment_fn = self.augment_fn
+        compute_dtype = self.compute_dtype
 
         def chain_step(state, model_state, idx, step, temperature, tx, ty):
             xb = jnp.take(tx, idx, axis=0)
@@ -134,7 +140,8 @@ class MultiChainRunner:
             if augment_fn is not None:
                 k_aug = jax.random.fold_in(state.key, 12345)
                 xb = augment_fn(k_aug, xb)
-            fn = model.potential_avg_fn(model_state, xb, yb, eff, train=True)
+            fn = model.potential_avg_fn(model_state, xb, yb, eff, train=True,
+                                        compute_dtype=compute_dtype)
             (pot, (new_ms, aux)), g = jax.value_and_grad(
                 fn, has_aux=True)(kernel.unpack(state.position))
             g = jnp.clip(kernel.pack(g), -grad_max, grad_max)

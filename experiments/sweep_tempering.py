@@ -26,6 +26,7 @@ from bnn_priors_tpu.exp.config import RunDirectory, parse_cli
 DEFAULTS = dict(
     data="cifar10",
     model="googleresnet",
+    compute_dtype=None,   # 'bfloat16': mixed-precision minibatch steps
     width=50,
     depth=3,
     weight_prior="gaussian",
@@ -164,7 +165,8 @@ def main(cfg):
             sample_epochs=sample_epochs, skip=cfg["skip"],
             precond_update=cfg["precond_update"], mesh=mesh,
             key=jax.random.key(cfg["seed"]), augment_fn=augment_fn,
-            model_savers=savers or None)
+            model_savers=savers or None,
+            compute_dtype=cfg.get("compute_dtype"))
         ckpt = (str(Path(cfg["log_dir"]) / "sweep_checkpoint.npz")
                 if cfg["checkpoint_every"] else None)
         metrics_hist = runner.run(progressbar=cfg["progressbar"],

@@ -53,6 +53,9 @@ DEFAULTS = dict(
     batchnorm=True,
     device="tpu",                  # tpu | cpu (jax backend)
     matmul_precision="bfloat16",   # MXU precision; 'float32' for exact
+    compute_dtype=None,            # e.g. 'bfloat16': mixed-precision net
+                                   # forward/backward (reductions stay f32);
+                                   # M-H boundary grads always full precision
     save_samples=True,
     checkpoint_every=None,         # epochs between full chain checkpoints
     resume_from=None,              # resume a run from chain.ckpt.npz
@@ -208,7 +211,8 @@ def _main_inner(cfg, run):
                 checkpoint_every=cfg["checkpoint_every"],
                 profile_dir=cfg["profile_dir"],
                 matmul_precision=(cfg["matmul_precision"]
-                                  if cfg["device"] != "cpu" else None))
+                                  if cfg["device"] != "cpu" else None),
+                compute_dtype=cfg["compute_dtype"])
             runner.run(progressbar=cfg["progressbar"],
                        resume_from=cfg["resume_from"])
             samples = runner.get_samples()
@@ -334,7 +338,7 @@ def _run_multichain(cfg, run, data, model, loaded_params, model_state,
             skip=cfg["skip"], precond_update=cfg["precond_update"],
             mesh=mesh, key=k_run, augment_fn=augment_fn,
             model_savers=savers or None, init_params_fn=init_params_fn,
-            **extra)
+            compute_dtype=cfg["compute_dtype"], **extra)
         ckpt = (run.artifact("chains.ckpt.npz")
                 if cfg["checkpoint_every"] else None)
         metrics_hist = runner.run(progressbar=cfg["progressbar"],

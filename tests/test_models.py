@@ -309,3 +309,32 @@ def test_raob_predictive_matches_exact_gp():
                                rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(np.asarray(std)[:, 0] ** 2, var_exact,
                                rtol=1e-8, atol=1e-10)
+
+
+def test_compute_dtype_mixed_precision():
+    """compute_dtype=bf16 runs the net forward in reduced precision while
+    keeping gradients/likelihood in the parameter dtype: grads stay f32,
+    relative error is small, and batchnorm state dtypes are preserved."""
+    model = models.ResNet(depth=20, softmax_temp=1.0)
+    params, state = model.init(jax.random.key(3), dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(5), (16, 3, 32, 32),
+                          dtype=jnp.float32)
+    y = jax.random.randint(jax.random.key(6), (16,), 0, 10)
+
+    fn32 = model.potential_avg_fn(state, x, y, 100.0, train=True)
+    fn16 = model.potential_avg_fn(state, x, y, 100.0, train=True,
+                                  compute_dtype=jnp.bfloat16)
+    (p32, (st32, _)), g32 = jax.value_and_grad(fn32, has_aux=True)(params)
+    (p16, (st16, _)), g16 = jax.value_and_grad(fn16, has_aux=True)(params)
+
+    for k, g in g16.items():
+        assert g.dtype == jnp.float32, k
+    for k in st16:
+        assert st16[k].dtype == state[k].dtype, k
+    # potential agrees to bf16 forward accuracy
+    np.testing.assert_allclose(float(p16), float(p32), rtol=0.05)
+    # gradient cosine similarity: far tighter than the minibatch noise
+    v32 = np.concatenate([np.ravel(g32[k]) for k in sorted(g32)])
+    v16 = np.concatenate([np.ravel(g16[k]) for k in sorted(g16)])
+    cos = float(v32 @ v16 / (np.linalg.norm(v32) * np.linalg.norm(v16)))
+    assert cos > 0.99, cos
