@@ -92,3 +92,30 @@ def test_multichain_runner_on_mesh():
         key=jax.random.key(6), dtype=jnp.float64)
     runner.run()
     assert runner.get_samples()["net.weight_prior.p"].shape[1] == 8
+
+
+def test_multichain_compute_dtype_bf16():
+    """compute_dtype='bfloat16' minibatch steps: chains advance, samples
+    stay f64-stored and finite, and the run matches the f32-forward run
+    to bf16 accuracy in distribution (same seeds, same noise stream)."""
+    x, y = _toy()
+    model = models.LogisticRegression(4, 2)
+
+    def run(cd):
+        runner = MultiChainRunner(
+            model, (x, y), n_chains=2, temperatures=1.0,
+            kernel="VerletSGLD", learning_rate=1e-3, momentum=0.9,
+            batch_size=16, cycles=1, epochs_per_cycle=2, warmup_epochs=1,
+            sample_epochs=1, key=jax.random.key(5), dtype=jnp.float64,
+            compute_dtype=cd)
+        runner.run()
+        return runner.get_samples()["net.weight_prior.p"]
+
+    full = run(None)
+    mixed = run("bfloat16")
+    assert mixed.dtype == full.dtype
+    assert np.all(np.isfinite(np.asarray(mixed)))
+    # identical PRNG stream; only the forward precision differs
+    np.testing.assert_allclose(np.asarray(mixed), np.asarray(full),
+                               rtol=0.1, atol=5e-3)
+    assert not np.array_equal(np.asarray(mixed), np.asarray(full))
