@@ -160,3 +160,24 @@ def test_sweep_tempering_end_to_end(tmp_path, small_random_data):
         if d.is_dir():
             assert (d / "samples.pt").exists()
             assert (d / "metrics.h5").exists()
+
+
+def test_train_sgd_baseline_artifact_contract(tmp_path):
+    """train_sgd.py (reference experiments/train_sgd.py): tiny run writes
+    the full artifact contract and a COMPLETED result."""
+    import subprocess
+    out = subprocess.run(
+        [sys.executable, str(REPO / "experiments" / "train_sgd.py"),
+         "--data", "random", "--model", "densenet", "--width", "8",
+         "--n_epochs", "3", "--epochs_per_sample", "1", "--skip_first", "1",
+         "--batch_size", "64", "--lr", "0.01", "--device", "cpu",
+         "--log_dir", str(tmp_path)],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    for artifact in ("config.json", "run.json", "samples.pt", "metrics.h5"):
+        assert (tmp_path / artifact).exists(), artifact
+    rj = json.loads((tmp_path / "run.json").read_text())
+    assert rj["status"] == "COMPLETED"
+    assert "lp_ensemble" in rj["result"]
+    cfgj = json.loads((tmp_path / "config.json").read_text())
+    assert cfgj["temperature"] == 0.0
