@@ -53,10 +53,17 @@ def split_sample_bank(model, samples):
     return params_bank, state_bank
 
 
-def _predict_all(model, x, y, samples, batch_size=512):
+def _predict_all(model, x, y, samples, batch_size=512, mesh=None):
     """Per-sample predictions over the full test set.
     Returns (lps[E,N], preds[E,N,C]) as device arrays; preds are normalized
-    log-probs for classification, means for regression."""
+    log-probs for classification, means for regression.
+
+    `mesh`: optional 1-axis `jax.sharding.Mesh` — the sample bank is
+    sharded over its devices and each device evaluates its own samples
+    (posterior-predictive evaluation is embarrassingly parallel over the
+    bank; the reference evaluates strictly sequentially,
+    exp_utils.py:273-298). Results are bitwise-identical to the
+    single-device path (tests/test_evaluate.py)."""
     from ..models.base import ClassificationModel
     is_classification = isinstance(model, ClassificationModel)
 
@@ -97,7 +104,26 @@ def _predict_all(model, x, y, samples, batch_size=512):
                                        (params_bank, state_bank))
         return lps, preds
 
-    lps, preds = run(params_bank, state_bank)
+    if mesh is None:
+        lps, preds = run(params_bank, state_bank)
+    else:
+        from jax.sharding import PartitionSpec as P
+        axis = mesh.axis_names[0]
+        n_dev = int(np.prod(mesh.devices.shape))
+        padE = (-E) % n_dev
+        if padE:  # replicate the last sample; trimmed below
+            def _padE(v):
+                return jnp.concatenate(
+                    [v, jnp.broadcast_to(v[-1:], (padE,) + v.shape[1:])])
+            params_bank = {k: _padE(v) for k, v in params_bank.items()}
+            state_bank = {k: _padE(v) for k, v in state_bank.items()}
+        sharded = jax.jit(jax.shard_map(
+            run, mesh=mesh, in_specs=(P(axis), P(axis)),
+            out_specs=P(axis), check_vma=False))
+        lps, preds = sharded(params_bank, state_bank)
+        if padE:
+            lps = lps[:E]
+            preds = preds[:E]
     if pad:
         lps = lps[:, :n]
         preds = preds[:, :n]
@@ -106,11 +132,12 @@ def _predict_all(model, x, y, samples, batch_size=512):
 
 def evaluate_model(model, test_data, samples, likelihood_eval=True,
                    accuracy_eval=True, calibration_eval=False,
-                   batch_size=512):
-    "Reference `evaluate_model` (exp_utils.py:250-340) over a sample bank."
+                   batch_size=512, mesh=None):
+    """Reference `evaluate_model` (exp_utils.py:250-340) over a sample bank.
+    `mesh` shards the bank's sample axis over devices (see _predict_all)."""
     x, y = test_data
     lps, preds, is_classification = _predict_all(model, x, y, samples,
-                                                 batch_size)
+                                                 batch_size, mesh=mesh)
     E = lps.shape[0]
     lps = np.asarray(lps, dtype=np.float64)
     preds = np.asarray(preds, dtype=np.float64)
@@ -150,7 +177,8 @@ def evaluate_model(model, test_data, samples, likelihood_eval=True,
     return results
 
 
-def evaluate_ood(model, train_data, ood_data, samples, batch_size=512):
+def evaluate_ood(model, train_data, ood_data, samples, batch_size=512,
+                 mesh=None):
     """AUROC/AUPRC of in-distribution vs OOD, scored by the sample-averaged
     max softmax probability (reference exp_utils.py:343-380)."""
     scores = {}
@@ -160,7 +188,7 @@ def evaluate_ood(model, train_data, ood_data, samples, batch_size=512):
             # carry non-class (regression) targets
             y = jnp.zeros((x.shape[0],), dtype=jnp.int32)
         _, preds, is_classification = _predict_all(model, x, y, samples,
-                                                   batch_size)
+                                                   batch_size, mesh=mesh)
         assert is_classification, "OOD eval needs a classification model"
         probs = np.exp(np.asarray(preds, dtype=np.float64))
         probs = probs.mean(axis=0)      # over samples

@@ -26,6 +26,7 @@ DEFAULTS = dict(
     marglik_eval=False,
     device="tpu",
     batch_size=512,
+    n_devices=None,        # >1: shard the sample bank over devices for eval
     log_dir=str(Path(__file__).resolve().parent.parent / "logs_eval"),
 )
 
@@ -52,6 +53,12 @@ def main(cfg):
     samples_file = cfg["eval_samples"] or str(run_dir / "samples.pt")
 
     run = RunDirectory(cfg["log_dir"], {**train_cfg, **cfg})
+
+    mesh = None
+    if cfg.get("n_devices") and int(cfg["n_devices"]) > 1:
+        from jax.sharding import Mesh
+        mesh = Mesh(np.asarray(jax.devices()[:int(cfg["n_devices"])]),
+                    ("samples",))
 
     if cfg["eval_data"]:
         data = exp_utils.get_data(cfg["eval_data"])
@@ -90,7 +97,7 @@ def main(cfg):
         result = evaluate_model(
             model, (x_test, y_test), samples, likelihood_eval=True,
             accuracy_eval=True, calibration_eval=cfg["calibration_eval"],
-            batch_size=cfg["batch_size"])
+            batch_size=cfg["batch_size"], mesh=mesh)
 
     if cfg["ood_eval"]:
         # in-dist score uses the *training data's test split*
@@ -98,7 +105,8 @@ def main(cfg):
         tx = jnp.asarray(train_data.norm.test_X, dtype=jnp.float32)
         ty = jnp.asarray(train_data.norm.test_y)
         result.update(evaluate_ood(model, (tx, ty), (x_test, y_test),
-                                   samples, batch_size=cfg["batch_size"]))
+                                   samples, batch_size=cfg["batch_size"],
+                                   mesh=mesh))
     if cfg["marglik_eval"]:
         result.update(evaluate_marglik(model, samples, samples))
 

@@ -127,3 +127,31 @@ def test_reject_samples():
     }
     out = reject_samples_(samples, metrics)
     np.testing.assert_allclose(out["w"][:, 0], [0, 1, 1, 3, 3])
+
+
+def test_evaluate_model_mesh_sharded_bank():
+    """mesh= shards the sample bank over devices; results identical to the
+    single-device path (eval is embarrassingly parallel over samples)."""
+    from jax.sharding import Mesh
+
+    model = models.ClassificationDenseNet(5, 3, 8, depth=2)
+    key = jax.random.key(0)
+    E = 11  # deliberately not divisible by 8 (pad-and-trim path)
+    banks = []
+    for i in range(E):
+        p, _ = model.init(jax.random.fold_in(key, i))
+        banks.append(p)
+    samples = {k: np.stack([np.asarray(b[k]) for b in banks])
+               for k in banks[0]}
+    x = jax.random.normal(jax.random.key(1), (37, 5))
+    y = jax.random.randint(jax.random.key(2), (37,), 0, 3)
+
+    ref = evaluate_model(model, (x, y), samples, likelihood_eval=True,
+                         accuracy_eval=True, calibration_eval=True,
+                         batch_size=16)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("samples",))
+    out = evaluate_model(model, (x, y), samples, likelihood_eval=True,
+                         accuracy_eval=True, calibration_eval=True,
+                         batch_size=16, mesh=mesh)
+    for k in ref:
+        np.testing.assert_allclose(out[k], ref[k], rtol=1e-12, err_msg=k)
