@@ -67,11 +67,13 @@ def build_run(K, model, kernel, n_steps, batch_size=128,
         chains, mss, pots = jax.vmap(one_chain_step)(chains, mss, x, y)
         return (chains, mss), pots[-1]
 
-    # NOTE: donate_argnums would let XLA update the chains in place, but
-    # the remote-tunnel backend rejects donated buffers (InvalidArgument);
-    # the production runner donates on directly-attached chips.
-    @jax.jit
-    def run(chains, mss):
+    # Buffer donation (jit_utils.donating_jit): the epoch scan reuses the
+    # chain-state buffers in place, like the production runners; backends
+    # that reject donated buffers (the remote-tunnel transport used here)
+    # automatically fall back to plain jit via the capability probe.
+    from bnn_priors_tpu.jit_utils import donating_jit
+
+    def run_impl(chains, mss):
         # bf16 MXU passes: the JAX/TPU-native precision (the analogue of
         # the reference's TF32-on-GPU); grad error is 5x below the
         # inherent minibatch noise SG-MCMC tolerates.
@@ -80,17 +82,30 @@ def build_run(K, model, kernel, n_steps, batch_size=128,
                 one_step, (chains, mss), None, length=n_steps)
         return chains, mss, pots[-1]
 
-    return run, states, mstates
+    return donating_jit(run_impl, donate_argnums=(0, 1)), states, mstates
 
 
 def timed_steps_per_s(run, states, mstates, n_steps, repeats=3):
-    import jax
-    states, mstates, _ = jax.block_until_ready(run(states, mstates))
+    """Time by DIFFERENCING chained-dispatch walls with a forced scalar
+    readback: on the remote-tunnel backend `jax.block_until_ready`
+    returns before the computation finishes (measured: ~0.1 ms "wall"
+    for dispatches whose results then take seconds to fetch), so the
+    only reliable clock is enqueue-R-dispatches -> fetch a scalar; the
+    fixed enqueue+roundtrip+readback cost cancels in T(R2) - T(R1)."""
+
+    def chain_of(R, s, m):
+        t0 = time.perf_counter()
+        for _ in range(R):
+            s, m, pot = run(s, m)
+        float(pot)  # device->host readback forces completion
+        return time.perf_counter() - t0, s, m
+
+    _, states, mstates = chain_of(1, states, mstates)  # warmup/compile
     best = float("inf")
     for _ in range(repeats):
-        t0 = time.perf_counter()
-        states, mstates, _ = jax.block_until_ready(run(states, mstates))
-        best = min(best, time.perf_counter() - t0)
+        t1, states, mstates = chain_of(1, states, mstates)
+        t3, states, mstates = chain_of(3, states, mstates)
+        best = min(best, (t3 - t1) / 2)
     return n_steps / best
 
 

@@ -57,8 +57,11 @@ def exact_potential_and_grad(model, kernel, position, model_state, tx, ty, *,
             return this_loss, (new_state, jnp.sum(acc))
         (this_loss, (new_state, acc_sum)), g = jax.value_and_grad(
             fn, has_aux=True)(params)
+        # keep the accumulators' dtypes (under x64, f32 chains could
+        # otherwise be promoted mid-scan and break carry type stability)
         return (jax.tree_util.tree_map(jnp.add, g_acc, g),
-                loss_acc + this_loss, acc_acc + acc_sum,
+                loss_acc + this_loss.astype(loss_acc.dtype),
+                acc_acc + acc_sum.astype(acc_acc.dtype),
                 new_state), None
 
     g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
@@ -130,7 +133,7 @@ class VerletSGLDRunnerReject(VerletSGLDRunner):
             def f(position, model_state, tx, ty):
                 return self._exact_vg_impl(position, model_state, tx, ty)
             return f
-        f = self._get_jit("exact_vg", builder)
+        f = self._get_jit("exact_vg", builder, donate_argnums=(1,))
         return f(chain_position, model_state, self.train_x, self.train_y)
 
     # -- boundary pieces ---------------------------------------------------
@@ -165,7 +168,8 @@ class VerletSGLDRunnerReject(VerletSGLDRunner):
                 return (chain, model_state, metrics, pot, de, rejected,
                         next_initial_pot)
             return f
-        f = self._get_jit("boundary_final_exact", builder)
+        f = self._get_jit("boundary_final_exact", builder,
+                          donate_argnums=(0, 1))
         dt = self.chain.position.dtype
         return f(chain, model_state, jnp.asarray(lr_index),
                  jnp.asarray(temperature, dt),
@@ -184,7 +188,8 @@ class VerletSGLDRunnerReject(VerletSGLDRunner):
                     save_state=self.reject_samples)
                 return chain
             return f
-        f = self._get_jit("boundary_initial_exact", builder)
+        f = self._get_jit("boundary_initial_exact", builder,
+                          donate_argnums=(0,))
         dt = self.chain.position.dtype
         return f(chain, jnp.asarray(lr_index), jnp.asarray(temperature, dt))
 

@@ -184,8 +184,13 @@ class SGLDRunner:
         }
         return (chain, model_state, step + 1), metrics
 
-    def _get_jit(self, name, builder):
+    def _get_jit(self, name, builder, donate_argnums=()):
+        """jit with per-dispatch caching. `donate_argnums` marks the
+        chain/model-state carries for buffer donation (in-place update,
+        like the reference's `p.add_()` — see jit_utils.donating_jit);
+        it is dropped automatically on backends that reject donation."""
         if name not in self._jit_cache:
+            from ..jit_utils import donating_jit
             fn = builder()
             if self.matmul_precision is not None:
                 prec, fn0 = self.matmul_precision, fn
@@ -193,7 +198,8 @@ class SGLDRunner:
                 def fn(*args, _fn0=fn0, _prec=prec, **kw):
                     with jax.default_matmul_precision(_prec):
                         return _fn0(*args, **kw)
-            self._jit_cache[name] = jax.jit(fn)
+            self._jit_cache[name] = donating_jit(
+                fn, donate_argnums=donate_argnums)
         return self._jit_cache[name]
 
     def _scan_steps(self, chain, model_state, step, idxs, temperature):
@@ -209,7 +215,7 @@ class SGLDRunner:
                     body, (chain, model_state, step), idxs)
                 return carry, ms
             return f
-        f = self._get_jit(("scan", n, B), builder)
+        f = self._get_jit(("scan", n, B), builder, donate_argnums=(0, 1))
         (chain, model_state, step), ms = f(
             chain, model_state, jnp.asarray(step), idxs,
             jnp.asarray(temperature, self.chain.position.dtype),
@@ -225,7 +231,7 @@ class SGLDRunner:
                                             temperature, tx, ty)
                 return carry, m
             return f
-        f = self._get_jit(("single", B), builder)
+        f = self._get_jit(("single", B), builder, donate_argnums=(0, 1))
         (chain, model_state, step), m = f(
             chain, model_state, jnp.asarray(step), idx,
             jnp.asarray(temperature, self.chain.position.dtype),
@@ -609,7 +615,8 @@ class VerletSGLDRunner(SGLDRunner):
 
         dt = self.chain.position.dtype
         if kind == "first":
-            f = self._get_jit(("boundary_first", B), builder_first)
+            f = self._get_jit(("boundary_first", B), builder_first,
+                              donate_argnums=(0, 1))
             chain, model_state, metrics, pot, de = f(
                 chain, model_state, jnp.asarray(step), idx,
                 jnp.asarray(temperature, dt),
@@ -620,7 +627,8 @@ class VerletSGLDRunner(SGLDRunner):
                 "delta_energy": float(de), "total_energy": 0.0,
                 "rejected": (False if self.reject_samples else None)}
         else:
-            f = self._get_jit(("boundary_sample", B), builder_boundary)
+            f = self._get_jit(("boundary_sample", B), builder_boundary,
+                              donate_argnums=(0, 1))
             chain, model_state, metrics, pot, de, rejected = f(
                 chain, model_state, jnp.asarray(step), idx,
                 jnp.asarray(temperature, dt),
