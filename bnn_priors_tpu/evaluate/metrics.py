@@ -62,8 +62,8 @@ def _predict_all(model, x, y, samples, batch_size=512, mesh=None):
     sharded over its devices and each device evaluates its own samples
     (posterior-predictive evaluation is embarrassingly parallel over the
     bank; the reference evaluates strictly sequentially,
-    exp_utils.py:273-298). Results are bitwise-identical to the
-    single-device path (tests/test_evaluate.py)."""
+    exp_utils.py:273-298). Results match the single-device path to
+    rtol 1e-12 (tests/test_evaluate.py)."""
     from ..models.base import ClassificationModel
     is_classification = isinstance(model, ClassificationModel)
 

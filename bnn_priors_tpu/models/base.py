@@ -171,8 +171,11 @@ class Model(Module):
             f, new_state = self.net_apply(
                 jax.tree_util.tree_map(down, params), state, down(x), train)
             f = f.astype(x.dtype)
-            new_state = {k: v.astype(state[k].dtype) for k, v in
-                         new_state.items()}
+            # restore each state leaf's storage dtype; keys a model's
+            # net_apply introduces beyond the input state keep their
+            # computed dtype instead of raising
+            new_state = {k: (v.astype(state[k].dtype) if k in state else v)
+                         for k, v in new_state.items()}
         else:
             f, new_state = self.net_apply(params, state, x, train)
         lps = self.likelihood_log_prob(params, f, y)

@@ -13,6 +13,7 @@ because chains never communicate (diagnostics aggregate post-hoc).
 from __future__ import annotations
 
 import math
+import time
 import warnings
 from typing import Dict, Optional
 
@@ -24,6 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .. import mcmc
 from ..inference.reject import exact_potential_and_grad
 from ..inference.schedules import make_schedule
+from ..jit_utils import donating_jit
 from .chains import init_chains_diverse
 from .distributed import host_value, local_chain_rows, put_chains
 
@@ -35,6 +37,11 @@ class MultiChainRunner:
 
     kernel_init_kwargs: dict = {}  # reject variants add save_state slots
 
+    # Measured on TPU v5e (PERF.md "The chain axis"): bf16 chains peak at
+    # K=8 per chip; K=16 regresses (the masked-dense K² MXU waste
+    # overtakes), and the f32 chain axis is sequential-equivalent.
+    MAX_EFFICIENT_CHAINS_PER_DEVICE = 8
+
     def __init__(self, model, train_data, n_chains, temperatures=1.0,
                  kernel="VerletSGLD", learning_rate=1e-2, momentum=0.994,
                  sampling_decay="cosine", batch_size=128, cycles=1,
@@ -42,7 +49,9 @@ class MultiChainRunner:
                  skip=1, grad_max=1e6, precond_update=None,
                  data_mult=1.0, mesh: Optional[Mesh] = None, key=None,
                  dtype=jnp.float32, augment_fn=None, model_savers=None,
-                 init_params_fn=None, compute_dtype=None):
+                 init_params_fn=None, compute_dtype=None,
+                 metrics_savers=None, metrics_skip=1, test_data=None,
+                 eval_batch_size=None):
         self.model = model
         self.train_x, self.train_y = train_data
         self.n_chains = int(n_chains)
@@ -118,9 +127,52 @@ class MultiChainRunner:
         # may be None (they are never touched here).
         assert model_savers is None or len(model_savers) == self.n_chains
         self.model_savers = model_savers
+        # optional per-chain metrics savers (HDF5Metrics-like): turns on
+        # STEP-granular diagnostic streaming (est_temperature/…,
+        # est_config_temp/…, loss/potential/lr per minibatch step, subject
+        # to `metrics_skip`) — the reference's logging cadence
+        # (inference.py:262-294), which the kinetic-temperature χ²
+        # diagnostic (reference plot.py:85-141) needs. Entries for
+        # non-local chains may be None on multi-host runs.
+        assert metrics_savers is None or len(metrics_savers) == self.n_chains
+        self.metrics_savers = metrics_savers
+        self.metrics_skip = int(metrics_skip)
+        # optional test set: per-epoch per-chain test/acc + test/loss
+        # (reference inference.py:199-213), one vmapped eval per epoch
+        if test_data is not None:
+            self.test_x, self.test_y = test_data
+            self.eval_batch_size = int(eval_batch_size or batch_size)
+        else:
+            self.test_x = self.test_y = None
+        self._eval_fn = None
+        self._total_energies = np.zeros(self.n_chains)
         self._samples = []
         self._epoch_fn = None
         self.nan_chains: set = set()
+        self._warn_chain_regime()
+
+    def _warn_chain_regime(self):
+        """Measured-throughput guard (VERDICT r3 #8): the chain axis has a
+        measured efficient regime on TPU; configs outside it silently run
+        slower than sequential chains. CPU runs (tests) are exempt."""
+        if jax.default_backend() not in ("tpu", "axon"):
+            return
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        k_per_dev = self.n_chains / max(n_dev, 1)
+        if k_per_dev > self.MAX_EFFICIENT_CHAINS_PER_DEVICE:
+            warnings.warn(
+                f"{self.n_chains} chains on {n_dev} device(s) = "
+                f"{k_per_dev:.0f}/chip exceeds the measured throughput "
+                f"sweet spot of {self.MAX_EFFICIENT_CHAINS_PER_DEVICE} "
+                "chains/chip (PERF.md): aggregate steps/s regresses "
+                "beyond it. Use more devices (n_devices) or run several "
+                "smaller batches of chains.")
+        if k_per_dev > 1 and self.compute_dtype != jnp.dtype(jnp.bfloat16):
+            warnings.warn(
+                "multi-chain vmap in float32 is sequential-equivalent on "
+                "TPU (PERF.md: the masked-dense grouped-conv rewrite "
+                "cancels the chain-axis win); set compute_dtype='bfloat16' "
+                "for the measured 1.7x chain-axis speedup.")
 
     def _host(self, tree):
         "device->host; works for multi-host global arrays (tiny gathers)"
@@ -133,6 +185,12 @@ class MultiChainRunner:
         grad_max, eff = self.grad_max, self.eff_num_data
         augment_fn = self.augment_fn
         compute_dtype = self.compute_dtype
+
+        # metrics savers present → compute the full per-leaf reference
+        # metric set inside the scan (kernel calc_metrics: segment
+        # reductions, ~1% of step cost) and stream it; otherwise keep the
+        # cheap aggregate diagnostics only.
+        granular = self.metrics_savers is not None
 
         def chain_step(state, model_state, idx, step, temperature, tx, ty):
             xb = jnp.take(tx, idx, axis=0)
@@ -148,16 +206,29 @@ class MultiChainRunner:
             # cast: under x64 the f64 cosine schedule must not promote an
             # f32 chain state (the CLI runs f32 even when x64 is enabled)
             lr = jnp.asarray(lr0 * schedule(step), g.dtype)
-            state, _ = kernel.step(state, g, lr, temperature,
-                                   calc_metrics=False)
-            # per-chain tempering diagnostics (aggregate over all params):
-            # kinetic temperature ||m||^2/d, config temperature <theta,g>N/d
-            d = jnp.asarray(kernel.packer.total, g.dtype)
-            est_t = jnp.sum(state.momentum * state.momentum) / d
-            est_c = jnp.sum(state.position * g) * (kernel.num_data / d)
-            return state, new_ms, {"potential": pot, "acc": aux["acc"],
-                                   "est_temperature": est_t,
-                                   "est_config_temp": est_c}
+            state, km = kernel.step(state, g, lr, temperature,
+                                    calc_metrics=granular)
+            out = {"potential": pot, "acc": aux["acc"]}
+            if granular:
+                # per-leaf (n_leaves,) vectors, reference inference.py
+                # logging scheme; '/all' aggregates happen at log time
+                out["est_temperature"] = kernel.packer.pack_leaf_scalars(
+                    km["est_temperature"])
+                out["est_config_temp"] = kernel.packer.pack_leaf_scalars(
+                    km["est_config_temp"])
+                out["loss"] = aux["loss"]
+                out["log_prior"] = aux["log_prior"]
+                out["lr"] = lr
+            else:
+                # per-chain tempering diagnostics (aggregate over all
+                # params): kinetic temperature ||m||^2/d, config
+                # temperature <theta,g>N/d
+                d = jnp.asarray(kernel.packer.total, g.dtype)
+                out["est_temperature"] = \
+                    jnp.sum(state.momentum * state.momentum) / d
+                out["est_config_temp"] = \
+                    jnp.sum(state.position * g) * (kernel.num_data / d)
+            return state, new_ms, out
 
         def epoch(states, model_states, idxs, step0, temperatures, tx, ty):
             # idxs: (n_chains, n_batches, B); train data as traced args so
@@ -174,7 +245,12 @@ class MultiChainRunner:
                 body, (states, model_states), jnp.arange(idxs.shape[1]))
             return states, model_states, ms
 
-        return jax.jit(epoch)
+        # donate the chain/model-state carries: the epoch scan updates the
+        # chain bank in place (reference torch kernels mutate in place —
+        # mcmc/sgld.py:150-152; donation is the XLA analogue and halves
+        # peak HBM for the K-chain state). Dropped automatically on
+        # backends that reject donation (jit_utils.donating_jit).
+        return donating_jit(epoch, donate_argnums=(0, 1))
 
     def _epoch_idxs(self, cycle=0, epoch=0):
         "(n_chains, n_full, B) independent permutations per chain"
@@ -246,13 +322,22 @@ class MultiChainRunner:
                               jnp.zeros_like(self.temperatures),
                               self.temperatures)
             idxs = self._epoch_idxs(cycle, epoch)
+            t0 = time.perf_counter()
             self.states, self.model_states, ms = self._epoch_fn(
                 self.states, self.model_states, idxs,
                 jnp.asarray(step), temps, self.train_x, self.train_y)
+            # the host fetch forces epoch completion, so epoch_s is real
+            # device time even on transports whose block_until_ready
+            # returns early (see bench.py timing note)
+            ms_host = self._host(ms)
+            epoch_s = time.perf_counter() - t0
+            step0 = step
             step += self.n_full
-            metrics_hist.append(self._host(jax.tree_util.tree_map(
-                lambda a: a[-1], ms)))
+            metrics_hist.append(self._epoch_end_entry(ms_host))
             self._check_finite(metrics_hist[-1]["potential"])
+            self._stream_step_metrics(step0, ms_host, temps)
+            self._eval_epoch(step, metrics_hist[-1])
+            self._stream_timings(step, epoch_s)
             if (self.precond_update is not None
                     and epoch % self.precond_update == 0):
                 self.states = jax.vmap(self.kernel.update_preconditioner)(
@@ -267,7 +352,137 @@ class MultiChainRunner:
             if (checkpoint_path is not None and checkpoint_every is not None
                     and (e + 1) % checkpoint_every == 0):
                 self.save_checkpoint(checkpoint_path, e + 1, step)
+        self._flush_metrics()
         return metrics_hist
+
+    # -- metric/eval streaming ---------------------------------------------
+    def _epoch_end_entry(self, ms_host):
+        """last-step diagnostics per chain, with per-leaf est_* vectors
+        aggregated to the '/all' scalar (size-weighted mean, the
+        single-chain runner's aggregate) for sweep compatibility."""
+        entry = {k: np.asarray(v)[-1] for k, v in ms_host.items()}
+        if entry["est_temperature"].ndim == 2:  # granular: (K, n_leaves)
+            w = np.asarray(self.kernel.packer.sizes, dtype=np.float64)
+            for k in ("est_temperature", "est_config_temp"):
+                entry[k] = (entry[k] * w).sum(-1) / w.sum()
+        return entry
+
+    def _stream_step_metrics(self, step0, ms_host, temps):
+        """Write the per-step per-chain reference metric series
+        (inference.py:262-294 cadence: step t's metrics under index t-1,
+        every `metrics_skip` steps but always the epoch's first)."""
+        if self.metrics_savers is None:
+            return
+        names = self.kernel.packer.names
+        sizes = np.asarray(self.kernel.packer.sizes, dtype=np.float64)
+        precond = np.asarray(self._host(
+            jax.vmap(self.kernel.leaf_precond)(self.states)))
+        est_t = np.asarray(ms_host["est_temperature"])  # (n, K, L)
+        est_c = np.asarray(ms_host["est_config_temp"])
+        scalars = {k: np.asarray(ms_host[k])
+                   for k in ("loss", "acc", "log_prior", "potential", "lr")
+                   if k in ms_host}
+        temps = np.asarray(temps)
+        n = est_t.shape[0]
+        for c in self.local_chains:
+            sv = self.metrics_savers[c]
+            if sv is None:
+                continue
+            add = sv.add_scalar
+            for i in range(n):
+                s = step0 + i
+                if (s % self.metrics_skip != 0) and i != 0:
+                    continue
+                li = s - 1
+                for j, nm in enumerate(names):
+                    add("preconditioner/" + nm, float(precond[c, j]), li)
+                    add("est_temperature/" + nm, float(est_t[i, c, j]), li)
+                    add("est_config_temp/" + nm, float(est_c[i, c, j]), li)
+                add("est_temperature/all",
+                    float((est_t[i, c] * sizes).sum() / sizes.sum()), li)
+                add("est_config_temp/all",
+                    float((est_c[i, c] * sizes).sum() / sizes.sum()), li)
+                add("temperature", float(temps[c]), li)
+                for k, v in scalars.items():
+                    add(k, float(v[i, c]), li)
+
+    def _stream_timings(self, step, epoch_s):
+        if self.metrics_savers is None:
+            return
+        for c in self.local_chains:
+            sv = self.metrics_savers[c]
+            if sv is None:
+                continue
+            sv.add_scalar("timings/epoch_s", epoch_s, step - 1)
+            sv.add_scalar("timings/steps_per_s",
+                          self.n_full / max(epoch_s, 1e-9), step - 1)
+            sv.add_scalar("timings/aggregate_steps_per_s",
+                          self.n_chains * self.n_full / max(epoch_s, 1e-9),
+                          step - 1)
+            sv.flush(every_s=10, keep_last_row=True)
+
+    def _flush_metrics(self):
+        if self.metrics_savers is None:
+            return
+        for c in self.local_chains:
+            if self.metrics_savers[c] is not None:
+                self.metrics_savers[c].flush()
+
+    def _eval_epoch(self, step, entry):
+        """per-epoch per-chain test evaluation (reference
+        inference.py:199-213): adds test/acc + test/loss (K,) to the
+        epoch's metrics entry and streams them per chain."""
+        if self.test_x is None:
+            return
+        if self._eval_fn is None:
+            self._eval_fn = self._build_eval_fn()
+        lp, acc = self._eval_fn(self.states.position, self.model_states,
+                                *self._eval_batches)
+        lp, acc = np.asarray(self._host(lp)), np.asarray(self._host(acc))
+        entry["test/acc"] = acc
+        entry["test/loss"] = -lp
+        if self.metrics_savers is None:
+            return
+        for c in self.local_chains:
+            sv = self.metrics_savers[c]
+            if sv is None:
+                continue
+            sv.add_scalar("test/loss", float(-lp[c]), step - 1)
+            sv.add_scalar("test/acc", float(acc[c]), step - 1)
+
+    def _build_eval_fn(self):
+        model, kernel = self.model, self.kernel
+        B = self.eval_batch_size
+        n = int(self.test_x.shape[0])
+        n_batches = math.ceil(n / B)
+        pad = n_batches * B - n
+        zpad = lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]) if pad else a
+        xs = zpad(self.test_x).reshape(
+            (n_batches, B) + self.test_x.shape[1:])
+        ys = zpad(self.test_y).reshape(
+            (n_batches, B) + self.test_y.shape[1:])
+        mask = jnp.concatenate([jnp.ones(n), jnp.zeros(pad)]).reshape(
+            n_batches, B)
+        self._eval_batches = (xs, ys, mask)
+
+        def one(position, model_state, xs, ys, mask):
+            params = kernel.unpack(position)
+
+            def body(_, batch):
+                xb, yb, mb = batch
+                fout, _ = model.net_apply(params, model_state, xb,
+                                          train=False)
+                lps = model.likelihood_log_prob(params, fout, yb)
+                acc = model.acc_fn(fout, yb, params)
+                return None, (jnp.sum(lps * mb), jnp.sum(acc * mb))
+            _, (lps, accs) = jax.lax.scan(body, None, (xs, ys, mask))
+            return jnp.sum(lps) / n, jnp.sum(accs) / n
+
+        def f(positions, model_states, xs, ys, mask):
+            return jax.vmap(one, in_axes=(0, 0, None, None, None))(
+                positions, model_states, xs, ys, mask)
+        return jax.jit(f)
 
     def _check_finite(self, potentials):
         """Reference parity (inference.py:221-222) adapted to many chains:
@@ -415,7 +630,8 @@ class MultiChainRunnerReject(MultiChainRunner):
         def f(states, model_states, tx, ty):
             return jax.vmap(self._exact_one, in_axes=(0, 0, None, None))(
                 states.position, model_states, tx, ty)
-        return jax.jit(f)
+        # states (arg 0) stays live at the caller — donate model_states only
+        return donating_jit(f, donate_argnums=(1,))
 
     def _build_bfinal_fn(self):
         kernel = self.kernel
@@ -445,7 +661,7 @@ class MultiChainRunnerReject(MultiChainRunner):
                              states.position.dtype)
             return jax.vmap(one, in_axes=(0, 0, 0, 0, None, None, None))(
                 states, model_states, temps, initial_pots, lr, tx, ty)
-        return jax.jit(f)
+        return donating_jit(f, donate_argnums=(0, 1))
 
     def _build_binit_fn(self):
         kernel = self.kernel
@@ -465,7 +681,7 @@ class MultiChainRunnerReject(MultiChainRunner):
             lr = jnp.asarray(lr0 * schedule(lr_index),
                              states.position.dtype)
             return jax.vmap(one, in_axes=(0, 0, None))(states, temps, lr)
-        return jax.jit(f)
+        return donating_jit(f, donate_argnums=(0,))
 
     # -- checkpoint extras ---------------------------------------------------
     def _checkpoint_meta(self, next_e, step):
@@ -527,13 +743,19 @@ class MultiChainRunnerReject(MultiChainRunner):
                               jnp.zeros_like(self.temperatures),
                               self.temperatures)
             idxs = self._epoch_idxs(cycle, epoch)
+            t0 = time.perf_counter()
             self.states, self.model_states, ms = self._epoch_fn(
                 self.states, self.model_states, idxs,
                 jnp.asarray(step), temps, self.train_x, self.train_y)
+            ms_host = self._host(ms)
+            epoch_s = time.perf_counter() - t0
+            step0 = step
             step += self.n_full
-            metrics_hist.append(self._host(jax.tree_util.tree_map(
-                lambda a: a[-1], ms)))
+            metrics_hist.append(self._epoch_end_entry(ms_host))
             self._check_finite(metrics_hist[-1]["potential"])
+            self._stream_step_metrics(step0, ms_host, temps)
+            self._eval_epoch(step, metrics_hist[-1])
+            self._stream_timings(step, epoch_s)
             precond_due = (self.precond_update is not None
                            and (epoch + 1) % self.precond_update == 0)
             if self._is_sampling_epoch(epoch):
@@ -542,9 +764,13 @@ class MultiChainRunnerReject(MultiChainRunner):
                     self.states, self.model_states,
                     jnp.asarray(step - 1), temps, self._initial_pots,
                     self.train_x, self.train_y)
-                self.delta_energies.append(self._host(de))
-                self.rejections.append(self._host(rejected))
-                self.boundary_metrics.append(self._host(bm))
+                self.delta_energies.append(np.asarray(self._host(de)))
+                self.rejections.append(np.asarray(self._host(rejected)))
+                self.boundary_metrics.append(jax.tree_util.tree_map(
+                    np.asarray, self._host(bm)))
+                self._stream_boundary(step, self.boundary_metrics[-1],
+                                      self.delta_energies[-1],
+                                      self.rejections[-1])
                 # sample AFTER maybe_reject: stored samples are already
                 # correctly rolled back (inference_reject.py:140-146)
                 if self.model_savers is not None:
@@ -579,7 +805,29 @@ class MultiChainRunnerReject(MultiChainRunner):
             if (checkpoint_path is not None and checkpoint_every is not None
                     and (e + 1) % checkpoint_every == 0):
                 self.save_checkpoint(checkpoint_path, e + 1, step)
+        self._flush_metrics()
         return metrics_hist
+
+    def _stream_boundary(self, step, bm, de, rejected):
+        """Stream the M-H boundary row per chain: exact full-data metrics
+        under exact/*, plus delta_energy / total_energy /
+        acceptance/rejected / acceptance/is_sample, at index step-1 (the
+        boundary reuses the epoch's final state)."""
+        self._total_energies = self._total_energies + np.asarray(de)
+        if self.metrics_savers is None:
+            return
+        li = step - 1
+        for c in self.local_chains:
+            sv = self.metrics_savers[c]
+            if sv is None:
+                continue
+            for k in ("loss", "log_prior", "potential", "acc"):
+                sv.add_scalar("exact/" + k, float(bm[k][c]), li)
+            sv.add_scalar("delta_energy", float(de[c]), li)
+            sv.add_scalar("total_energy", float(self._total_energies[c]), li)
+            sv.add_scalar("acceptance/is_sample", 1, li)
+            if self.reject_samples:
+                sv.add_scalar("acceptance/rejected", int(rejected[c]), li)
 
     def acceptance_rates(self) -> np.ndarray:
         "(n_chains,) fraction of accepted M-H boundaries"

@@ -57,8 +57,11 @@ def main(cfg):
     mesh = None
     if cfg.get("n_devices") and int(cfg["n_devices"]) > 1:
         from jax.sharding import Mesh
-        mesh = Mesh(np.asarray(jax.devices()[:int(cfg["n_devices"])]),
-                    ("samples",))
+        n_dev = int(cfg["n_devices"])
+        assert n_dev <= len(jax.devices()), (
+            f"n_devices={n_dev} but only {len(jax.devices())} device(s) "
+            "are available — refusing to silently evaluate on fewer")
+        mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("samples",))
 
     if cfg["eval_data"]:
         data = exp_utils.get_data(cfg["eval_data"])
@@ -88,6 +91,11 @@ def main(cfg):
         if "acceptance/rejected" in metrics_np:
             samples = reject_samples_(samples, metrics_np)
     samples = {k: v[cfg["skip_first"]:] for k, v in samples.items()}
+    n_left = min((v.shape[0] for v in samples.values()), default=0)
+    assert n_left > 0, (
+        f"skip_first={cfg['skip_first']} leaves no samples to evaluate "
+        f"(the bank in {samples_file} is smaller); pass skip_first=0 "
+        "or rerun training with more n_samples")
 
     if cfg["ood_eval"]:
         # like the reference (eval_bnn.py:120-124): OOD runs score-only —

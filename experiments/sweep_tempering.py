@@ -47,6 +47,7 @@ DEFAULTS = dict(
     warmup=45,
     skip=1,
     skip_first=50,
+    metrics_skip=10,   # per-chain step-granular metrics cadence
     lr=0.01,
     momentum=0.994,
     precond_update=1,
@@ -84,7 +85,7 @@ def main(cfg):
 
     from bnn_priors_tpu import exp_utils
     from bnn_priors_tpu.evaluate import evaluate_model
-    from bnn_priors_tpu.io import HDF5ModelSaver, load_samples
+    from bnn_priors_tpu.io import HDF5Metrics, HDF5ModelSaver, load_samples
     from bnn_priors_tpu.parallel import (MultiChainRunner,
                                          MultiChainRunnerReject)
 
@@ -133,10 +134,11 @@ def main(cfg):
     # sample banks STREAM to disk as the sweep runs (no host-memory
     # blowup). Multi-host: each process creates dirs/savers ONLY for the
     # chains it owns (rank-aware writers; dir numbering is mkdir-atomic).
-    runs, savers = {}, []
+    runs, savers, msavers = {}, [], []
     for c in range(n_chains):
         if c not in local_chains:
             savers.append(None)
+            msavers.append(None)
             continue
         r, t = divmod(c, len(temps))
         chain_cfg = {**cfg, "temperature": temps[t], "replicate": r,
@@ -146,6 +148,9 @@ def main(cfg):
         runs[c] = run
         savers.append(HDF5ModelSaver(run.artifact("samples.pt"))
                       if cfg["save_samples"] else None)
+        # step-granular per-chain metrics stream during the run: the
+        # kinetic-temperature χ² diagnostic needs per-step series
+        msavers.append(HDF5Metrics(run.artifact("metrics.h5")))
     if not cfg["save_samples"]:
         savers = []
 
@@ -166,6 +171,8 @@ def main(cfg):
             precond_update=cfg["precond_update"], mesh=mesh,
             key=jax.random.key(cfg["seed"]), augment_fn=augment_fn,
             model_savers=savers or None,
+            metrics_savers=msavers, metrics_skip=cfg["metrics_skip"],
+            test_data=(x_test, y_test),
             compute_dtype=cfg.get("compute_dtype"))
         ckpt = (str(Path(cfg["log_dir"]) / "sweep_checkpoint.npz")
                 if cfg["checkpoint_every"] else None)
@@ -177,42 +184,11 @@ def main(cfg):
         for s in savers:
             if s is not None:
                 s.close()
-
-    # per-chain metrics.h5 (epoch-end diagnostics): feeds the tempering
-    # plots (plot.temperature_stderr on the /all aggregates) + collect_runs
-    from bnn_priors_tpu.io import HDF5Metrics
-    # metrics_hist may be empty when resuming at/after the final epoch
-    per_epoch = {k: np.stack([np.asarray(m[k]) for m in metrics_hist])
-                 for k in (metrics_hist[0] if metrics_hist else ())}
-    for c, run in runs.items():
-        with HDF5Metrics(run.artifact("metrics.h5")) as ms:
-            n_epochs = (per_epoch["potential"].shape[0]
-                        if per_epoch else 0)
-            for e in range(n_epochs):
-                ms.add_scalar("potential", float(per_epoch["potential"][e, c]), e)
-                ms.add_scalar("acc", float(per_epoch["acc"][e, c]), e)
-                ms.add_scalar("est_temperature/all",
-                              float(per_epoch["est_temperature"][e, c]), e)
-                ms.add_scalar("est_config_temp/all",
-                              float(per_epoch["est_config_temp"][e, c]), e)
-                ms.add_scalar("temperature", temps[c % len(temps)], e)
-            if is_reject:
-                # boundary rows (exact potential, ΔE, M-H outcome) appended
-                # after the epoch rows — feeds reject_samples_ + diagnostics.
-                # After a resume, rejected/ΔE history is restored from the
-                # checkpoint but the exact-loss metrics only exist for the
-                # boundaries run in THIS process — align from the tail.
-                off = len(runner.rejections) - len(runner.boundary_metrics)
-                for b, bm in enumerate(runner.boundary_metrics):
-                    i = n_epochs + b
-                    ms.add_scalar("potential", float(bm["potential"][c]), i)
-                    ms.add_scalar("loss", float(bm["loss"][c]), i)
-                    ms.add_scalar("log_prior", float(bm["log_prior"][c]), i)
-                    ms.add_scalar("delta_energy",
-                                  float(runner.delta_energies[off + b][c]), i)
-                    ms.add_scalar("acceptance/is_sample", 1, i)
-                    ms.add_scalar("acceptance/rejected",
-                                  int(runner.rejections[off + b][c]), i)
+        # metrics were streamed during the run (step-granular per-chain
+        # series incl. est_temperature/* and boundary ΔE/rejection rows)
+        for m in msavers:
+            if m is not None:
+                m.close()
 
     results = []
     for c, run in sorted(runs.items()):

@@ -267,6 +267,18 @@ def _run_multichain(cfg, run, data, model, loaded_params, model_state,
     if cfg["inference"] == "HMC":  # classical HMC: exact full-data grads
         batch_size = int(x_train.shape[0])
         assert cfg["temperature"] == 1.0 and cfg["burnin"] == 0
+        # memory guard: batch=N means every chain materializes FULL-dataset
+        # activations per scan step (e.g. CIFAR10: 50k x 3 x 32 x 32 per
+        # chain). HMCReject computes the same exact gradients by scanning
+        # minibatches at constant memory — use it for real datasets.
+        est_gb = (n_chains * batch_size *
+                  float(np.prod(x_train.shape[1:])) * 4 / 1e9)
+        assert est_gb < 2.0, (
+            f"inference=HMC with n_chains={n_chains} needs full-batch "
+            f"gradients: >= {est_gb:.1f} GB of input activations alone "
+            f"(batch={batch_size}/chain) would not fit. Use "
+            "inference=HMCReject (minibatch-scanned exact gradients, "
+            "constant memory) or fewer chains/smaller data.")
 
     assert (cfg["n_samples"] * cfg["skip"]) % cfg["cycles"] == 0
     sample_epochs = cfg["n_samples"] * cfg["skip"] // cfg["cycles"]
@@ -307,16 +319,20 @@ def _run_multichain(cfg, run, data, model, loaded_params, model_state,
 
     # one run dir per chain, samples streaming to disk; multi-host: each
     # process creates dirs/savers only for the chains it owns
-    chain_runs, savers = {}, []
+    chain_runs, savers, msavers = {}, [], []
     for c in range(n_chains):
         if c not in local_chains:
             savers.append(None)
+            msavers.append(None)
             continue
         chain_cfg = {**cfg, "chain_index": c}
         crun = RunDirectory(cfg["log_dir"], chain_cfg)
         chain_runs[c] = crun
         savers.append(HDF5ModelSaver(crun.artifact("samples.pt"))
                       if cfg["save_samples"] else None)
+        # per-chain step-granular metrics stream (reference
+        # inference.py:262-294 cadence) + per-epoch test eval rows
+        msavers.append(HDF5Metrics(crun.artifact("metrics.h5")))
     if not cfg["save_samples"]:
         savers = []
 
@@ -338,6 +354,8 @@ def _run_multichain(cfg, run, data, model, loaded_params, model_state,
             skip=cfg["skip"], precond_update=cfg["precond_update"],
             mesh=mesh, key=k_run, augment_fn=augment_fn,
             model_savers=savers or None, init_params_fn=init_params_fn,
+            metrics_savers=msavers, metrics_skip=cfg["metrics_skip"],
+            test_data=(x_test, jnp.asarray(y_test)),
             compute_dtype=cfg["compute_dtype"], **extra)
         ckpt = (run.artifact("chains.ckpt.npz")
                 if cfg["checkpoint_every"] else None)
@@ -349,35 +367,11 @@ def _run_multichain(cfg, run, data, model, loaded_params, model_state,
         for s in savers:
             if s is not None:
                 s.close()
-
-    # per-chain metrics.h5: epoch-end diagnostics + M-H boundary rows
-    per_epoch = {k: np.stack([np.asarray(m[k]) for m in metrics_hist])
-                 for k in (metrics_hist[0] if metrics_hist else ())}
-    for c, crun in chain_runs.items():
-        with HDF5Metrics(crun.artifact("metrics.h5")) as ms:
-            n_epochs = (per_epoch["potential"].shape[0] if per_epoch else 0)
-            for e in range(n_epochs):
-                ms.add_scalar("potential",
-                              float(per_epoch["potential"][e, c]), e)
-                ms.add_scalar("acc", float(per_epoch["acc"][e, c]), e)
-                ms.add_scalar("est_temperature/all",
-                              float(per_epoch["est_temperature"][e, c]), e)
-                ms.add_scalar("est_config_temp/all",
-                              float(per_epoch["est_config_temp"][e, c]), e)
-                ms.add_scalar("temperature", float(cfg["temperature"]), e)
-            if is_reject:
-                off = len(runner.rejections) - len(runner.boundary_metrics)
-                for b, bm in enumerate(runner.boundary_metrics):
-                    i = n_epochs + b
-                    ms.add_scalar("potential", float(bm["potential"][c]), i)
-                    ms.add_scalar("loss", float(bm["loss"][c]), i)
-                    ms.add_scalar("log_prior", float(bm["log_prior"][c]), i)
-                    ms.add_scalar(
-                        "delta_energy",
-                        float(runner.delta_energies[off + b][c]), i)
-                    ms.add_scalar("acceptance/is_sample", 1, i)
-                    ms.add_scalar("acceptance/rejected",
-                                  int(runner.rejections[off + b][c]), i)
+        # metrics were streamed during the run (per-step series, per-epoch
+        # test/acc + test/loss, and boundary ΔE/rejection rows)
+        for m in msavers:
+            if m is not None:
+                m.close()
 
     # per-chain evaluation + pooled ensemble over this host's chains
     results = []
