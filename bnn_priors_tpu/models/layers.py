@@ -75,13 +75,15 @@ class Conv2d(Module):
 
     def apply(self, params, state, prefix, x, train=False):
         w = self.weight_prior.forward(params, join(prefix, "weight_prior"))
-        # OIHW -> HWIO for NHWC conv
-        w = jnp.transpose(w, (2, 3, 1, 0))
+        # weights stay OIHW (torch storage layout): passing them via
+        # dimension_numbers lets XLA's layout assignment pick the conv's
+        # internal weight layout directly — an explicit HWIO transpose
+        # materialized an extra per-step copy of every conv weight
         pad = [(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])]
         y = lax.conv_general_dilated(
             x, w, window_strides=self.stride, padding=pad,
             rhs_dilation=self.dilation, feature_group_count=self.groups,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            dimension_numbers=("NHWC", "OIHW", "NHWC"),
         )
         if self.bias_prior is not None:
             b = self.bias_prior.forward(params, join(prefix, "bias_prior"))
@@ -203,8 +205,17 @@ class BatchNorm2d(Module):
         nb_key = join(prefix, "num_batches_tracked")
         if train:
             axes = (0, 1, 2)
-            mean = jnp.mean(x, axis=axes)
-            var = jnp.var(x, axis=axes)
+            # single-pass moments: E[x] and E[x^2] fuse into ONE read of
+            # the activation (jnp.var would re-read it for the centered
+            # pass — measured as a separate full HBM sweep per BN layer),
+            # accumulated in f32 regardless of compute dtype. Same
+            # formula torch's native batch_norm uses.
+            xf = x.astype(jnp.float32)
+            mean32 = jnp.mean(xf, axis=axes)
+            var32 = jnp.maximum(
+                jnp.mean(xf * xf, axis=axes) - mean32 * mean32, 0.0)
+            mean = mean32.astype(x.dtype)
+            var = var32.astype(x.dtype)
             n = x.shape[0] * x.shape[1] * x.shape[2]
             unbiased = var * (n / max(n - 1, 1))
             m = self.momentum
