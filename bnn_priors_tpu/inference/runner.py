@@ -54,7 +54,7 @@ class SGLDRunner:
                  augment_fn: Optional[Callable] = None,
                  init_params=None, init_model_state=None, key=None,
                  checkpoint_path=None, checkpoint_every=None,
-                 profile_dir=None, profile_epoch=1,
+                 profile_dir=None, profile_epoch=1, profile_max_steps=50,
                  matmul_precision=None, compute_dtype=None):
         self.model = model
         self.train_x, self.train_y = train_data
@@ -96,9 +96,14 @@ class SGLDRunner:
         # reference's sample-warm-start resume, see io/checkpoint.py)
         self.checkpoint_path = checkpoint_path
         self.checkpoint_every = checkpoint_every
-        # jax.profiler trace of one epoch (reference has no tracing, §5.1)
+        # jax.profiler trace of one epoch (reference has no tracing, §5.1).
+        # The trace covers at most `profile_max_steps` minibatches: a
+        # full-epoch device trace of a real model hangs remote-device
+        # transports on event volume (PERF.md), so the profiled epoch
+        # runs its first chunk in a separate traced dispatch.
         self.profile_dir = profile_dir
         self.profile_epoch = profile_epoch
+        self.profile_max_steps = int(profile_max_steps)
         # 'bfloat16' runs MXU matmuls/convs at native bf16 (the standard
         # JAX/TPU default and the analogue of the reference's TF32-on-GPU):
         # measured grad error 5e-2 relative, 5x below the minibatch noise
@@ -248,10 +253,13 @@ class SGLDRunner:
         sampling_epoch = epoch - (self.descent_epochs + self.warmup_epochs)
         return (0 <= sampling_epoch) and (sampling_epoch % self.skip == 0)
 
-    def _run_epoch(self, cycle, epoch, step, boundary):
+    def _run_epoch(self, cycle, epoch, step, boundary, profile=False):
         """Run one epoch; returns (new_step, epoch_metrics_dict).
         `boundary` marks that the first minibatch must perform the
-        runner-specific boundary transition (no-op for plain SGLD)."""
+        runner-specific boundary transition (no-op for plain SGLD).
+        `profile` wraps the first <= profile_max_steps minibatches in a
+        jax.profiler trace (its own dispatch, so the trace stays small
+        enough not to hang remote transports)."""
         temperature = 0.0 if epoch < self.descent_epochs else self.temperature
         perm = self._epoch_perm(cycle, epoch)
         idx_full = perm[: self.n_full * self.batch_size].reshape(
@@ -268,8 +276,27 @@ class SGLDRunner:
                 lambda a: jnp.asarray(a)[None], m))
             step += 1
             start = 1
+        if profile and self.n_full - start > self.profile_max_steps:
+            cap = self.profile_max_steps
+            with jax.profiler.trace(self.profile_dir):
+                chain, model_state, ms = self._scan_steps(
+                    chain, model_state, step, idx_full[start:start + cap],
+                    temperature)
+                jax.block_until_ready(chain.position)
+                np.asarray(ms["potential"][-1])  # force readback: trace ends
+            metrics_list.append(ms)
+            step += cap
+            start += cap
+            profile = False  # remainder runs untraced below
         if self.n_full - start > 0:
-            chain, model_state, ms = self._scan_steps(
+            scan = self._scan_steps
+            if profile:  # short epoch: trace fits in one dispatch
+                def scan(*a, **k):
+                    with jax.profiler.trace(self.profile_dir):
+                        out = self._scan_steps(*a, **k)
+                        jax.block_until_ready(out[0].position)
+                        return out
+            chain, model_state, ms = scan(
                 chain, model_state, step, idx_full[start:], temperature)
             metrics_list.append(ms)
             step += self.n_full - start
@@ -343,15 +370,10 @@ class SGLDRunner:
                 boundary = "first"
             elif self._is_sampling_epoch(epoch - 1):
                 boundary = "sample"
-            trace_ctx = None
-            if self.profile_dir is not None and e == self.profile_epoch:
-                trace_ctx = jax.profiler.trace(self.profile_dir)
-                trace_ctx.__enter__()
-            try:
-                step = self._finish_epoch(cycle, epoch, step, boundary)
-            finally:
-                if trace_ctx is not None:
-                    trace_ctx.__exit__(None, None, None)
+            profile = (self.profile_dir is not None
+                       and e == self.profile_epoch)
+            step = self._finish_epoch(cycle, epoch, step, boundary,
+                                      profile=profile)
             if (self.checkpoint_path is not None
                     and self.checkpoint_every is not None
                     and (e + 1) % self.checkpoint_every == 0):
@@ -374,11 +396,11 @@ class SGLDRunner:
         if self.metrics_saver is not None:
             self.metrics_saver.flush()
 
-    def _finish_epoch(self, cycle, epoch, step, boundary):
+    def _finish_epoch(self, cycle, epoch, step, boundary, profile=False):
         step0 = step
         t0 = time.perf_counter()
         step, metrics, boundary_metrics = self._run_epoch(
-            cycle, epoch, step, boundary)
+            cycle, epoch, step, boundary, profile=profile)
         jax.block_until_ready(self.chain.position)
         epoch_s = time.perf_counter() - t0
         if not np.all(np.isfinite(np.asarray(metrics["potential"]))):

@@ -92,24 +92,34 @@ class MultiChainRunner:
         else:
             self.kernel = kernel_cls(num_data=self.eff_num_data,
                                      momentum=momentum)
-        if init_params_fn is not None:
-            # explicit per-chain init (he-initialization, warm starts):
-            # params_fn(chain_index, key) -> params dict
-            from .chains import init_chains_from_fn
-            self.states = init_chains_from_fn(
-                self.kernel, k_chains, self.n_chains, init_params_fn,
-                init_kwargs=self.kernel_init_kwargs)
-        else:
-            self.states = init_chains_diverse(
-                self.kernel, model, k_chains, self.n_chains, dtype=dtype,
-                init_kwargs=self.kernel_init_kwargs)
-        _, model_state = model.init(jax.random.key(0), dtype=dtype)
-        self.model_states = jax.tree_util.tree_map(
-            lambda v: jnp.broadcast_to(v, (self.n_chains,) + v.shape).copy(),
-            model_state)
+        # Chain init is hundreds of tiny eager prior-sample ops per chain;
+        # through a remote device transport that is ~25 s PER CHAIN. Build
+        # the states on the host CPU backend and ship only the packed
+        # vectors to the accelerator in one transfer.
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            if init_params_fn is not None:
+                # explicit per-chain init (he-initialization, warm
+                # starts): params_fn(chain_index, key) -> params dict
+                from .chains import init_chains_from_fn
+                self.states = init_chains_from_fn(
+                    self.kernel, k_chains, self.n_chains, init_params_fn,
+                    init_kwargs=self.kernel_init_kwargs)
+            else:
+                self.states = init_chains_diverse(
+                    self.kernel, model, k_chains, self.n_chains,
+                    dtype=dtype, init_kwargs=self.kernel_init_kwargs)
+            _, model_state = model.init(jax.random.key(0), dtype=dtype)
+            self.model_states = jax.tree_util.tree_map(
+                lambda v: jnp.broadcast_to(
+                    v, (self.n_chains,) + v.shape).copy(), model_state)
         if mesh is not None:
             self.states = put_chains(self.states, mesh)
             self.model_states = put_chains(self.model_states, mesh)
+        else:
+            dev = jax.devices()[0]
+            self.states, self.model_states = jax.device_put(
+                (self.states, self.model_states), dev)
         # multi-host (jax.distributed): this process owns only the chains
         # on its local devices — sample streaming is rank-aware (each host
         # writes its own chains' banks), diagnostics use tiny replicated
