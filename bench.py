@@ -55,7 +55,8 @@ def build_run(K, model, kernel, n_steps, batch_size=128,
                                     train=True, compute_dtype=compute_dtype)
         (pot, (new_ms, _aux)), grads = jax.value_and_grad(
             fn, has_aux=True)(kernel.unpack(chain.position))
-        g = jnp.clip(kernel.pack(grads), -1e6, 1e6)
+        from bnn_priors_tpu.mcmc.segmented import vclip
+        g = vclip(kernel.pack(grads), -1e6, 1e6)
         chain, _ = kernel.step(chain, g, 0.01, 1.0, calc_metrics=False)
         return chain, new_ms, pot
 
@@ -128,7 +129,10 @@ def main():
     # what the production runner scans (inference/runner.py _scan_steps)
     n_steps = 391
     model = models.ResNet(depth=20, softmax_temp=1.0)
-    kernel = mcmc.VerletSGLD(num_data=50000, momentum=0.994)
+    # segmented chain state: the production runners' default (PERF.md
+    # "The flat-pack tax" — no flat<->conv-layout relayouts per step)
+    kernel = mcmc.VerletSGLD(num_data=50000, momentum=0.994,
+                             packing="segmented")
 
     run1, s1, m1 = build_run(1, model, kernel, n_steps)
     single = timed_steps_per_s(run1, s1, m1, n_steps)

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import mcmc
+from ..mcmc.segmented import vclip
 from .runner import SGLDRunner, VerletSGLDRunner
 
 
@@ -78,7 +79,7 @@ def exact_potential_and_grad(model, kernel, position, model_state, tx, ty, *,
     log_norm_prior, g_prior = jax.value_and_grad(prior_fn)(params)
     log_prior = -log_norm_prior * eff_num_data
     grads = kernel.pack(jax.tree_util.tree_map(jnp.add, g_ll, g_prior))
-    grads = jnp.clip(grads, -grad_max, grad_max)
+    grads = vclip(grads, -grad_max, grad_max)
     potential = loss + log_norm_prior
     return loss, log_prior, potential, acc_sum / N, grads, model_state
 
@@ -86,7 +87,8 @@ def exact_potential_and_grad(model, kernel, position, model_state, tx, ty, *,
 class VerletSGLDRunnerReject(VerletSGLDRunner):
     def _make_kernel(self):
         return mcmc.VerletSGLD(num_data=self.eff_num_data,
-                               momentum=self.momentum)
+                               momentum=self.momentum,
+                               packing=self.packing)
 
     def _init_kwargs(self):
         return {"save_state": self.reject_samples}
@@ -400,7 +402,7 @@ class HMCRunnerReject(VerletSGLDRunnerReject):
         assert self.momentum == 1.0, "HMC only works with momentum=1."
         assert self.descent_epochs == 0, \
             "HMC not implemented for descent epochs with temp=0."
-        return mcmc.HMC(num_data=self.eff_num_data)
+        return mcmc.HMC(num_data=self.eff_num_data, packing=self.packing)
 
 
 class SGLDRunnerReject(VerletSGLDRunnerReject):
@@ -408,7 +410,8 @@ class SGLDRunnerReject(VerletSGLDRunnerReject):
 
     def _make_kernel(self):
         assert not self.reject_samples
-        return mcmc.SGLD(num_data=self.eff_num_data, momentum=self.momentum)
+        return mcmc.SGLD(num_data=self.eff_num_data, momentum=self.momentum,
+                         packing=self.packing)
 
     def _init_kwargs(self):
         return {}

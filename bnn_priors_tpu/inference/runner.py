@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import mcmc
+from ..mcmc.segmented import vclip
 from .schedules import make_schedule
 
 
@@ -55,7 +56,8 @@ class SGLDRunner:
                  init_params=None, init_model_state=None, key=None,
                  checkpoint_path=None, checkpoint_every=None,
                  profile_dir=None, profile_epoch=1, profile_max_steps=50,
-                 matmul_precision=None, compute_dtype=None):
+                 matmul_precision=None, compute_dtype=None,
+                 packing="segmented"):
         self.model = model
         self.train_x, self.train_y = train_data
         if test_data is not None:
@@ -114,6 +116,11 @@ class SGLDRunner:
         # stay f32) — see models/base.py log_likelihood(compute_dtype=...).
         self.compute_dtype = (jnp.dtype(compute_dtype)
                               if compute_dtype is not None else None)
+        # chain-state representation: 'segmented' (per-leaf pytree; no
+        # flat<->conv-layout relayouts — PERF.md "The flat-pack tax") or
+        # 'flat' (single packed vector). Same distributions; PRNG streams
+        # differ between the two (tests/test_segmented.py).
+        self.packing = packing
 
         self.n_full = self.N // self.batch_size
         self.tail = self.N - self.n_full * self.batch_size
@@ -144,7 +151,8 @@ class SGLDRunner:
     # -- kernel factory ----------------------------------------------------
     def _make_kernel(self):
         assert self.reject_samples is False, "SGLD cannot reject samples"
-        return mcmc.SGLD(num_data=self.eff_num_data, momentum=self.momentum)
+        return mcmc.SGLD(num_data=self.eff_num_data, momentum=self.momentum,
+                         packing=self.packing)
 
     def _init_kwargs(self):
         return {}
@@ -159,7 +167,7 @@ class SGLDRunner:
                                          compute_dtype=self.compute_dtype)
         (pot, (new_model_state, aux)), grads = jax.value_and_grad(
             fn, has_aux=True)(params)
-        g = jnp.clip(self.kernel.pack(grads), -self.grad_max, self.grad_max)
+        g = vclip(self.kernel.pack(grads), -self.grad_max, self.grad_max)
         return pot, aux, new_model_state, g
 
     def _plain_step(self, carry, idx, temperature, tx, ty):
@@ -560,7 +568,8 @@ class VerletSGLDRunner(SGLDRunner):
 
     def _make_kernel(self):
         return mcmc.VerletSGLD(num_data=self.eff_num_data,
-                               momentum=self.momentum)
+                               momentum=self.momentum,
+                               packing=self.packing)
 
     def _plain_step(self, carry, idx, temperature, tx, ty):
         """Intermediate GGMC step + the potential-free part of the running
@@ -694,4 +703,4 @@ class HMCRunner(VerletSGLDRunner):
         assert self.momentum == 1.0, "HMC only works with momentum=1."
         assert self.descent_epochs == 0, \
             "HMC not implemented for descent epochs with temp=0."
-        return mcmc.HMC(num_data=self.eff_num_data)
+        return mcmc.HMC(num_data=self.eff_num_data, packing=self.packing)

@@ -10,23 +10,24 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .segmented import vsum
 from .verlet_sgld import VerletSGLD, VerletSGLDState
 
 
 class HMC(VerletSGLD):
     def __init__(self, num_data: float, rmsprop_alpha: float = 0.99,
-                 rmsprop_eps: float = 1e-8):
+                 rmsprop_eps: float = 1e-8, packing: str = "flat"):
         super().__init__(num_data, momentum=1.0, rmsprop_alpha=rmsprop_alpha,
-                         rmsprop_eps=rmsprop_eps)
+                         rmsprop_eps=rmsprop_eps, packing=packing)
 
     def _point_energy(self, state, grads, lr):
         "½‖m‖² — kinetic energy of the *current* momentum"
-        return 0.5 * jnp.sum(state.momentum * state.momentum)
+        return 0.5 * vsum(state.momentum * state.momentum)
 
     def _step(self, state: VerletSGLDState, grads, lr, temperature, kind,
               save_state=False, calc_metrics=True):
         del temperature  # always 1 for HMC
-        if not isinstance(grads, jnp.ndarray) or grads.ndim != 1:
+        if not self.packer.is_packed(grads):
             grads = self.pack(grads)
         bh, bhn, _, grad_v, _ = self._constants(lr, 1.0, kind)
         M = state.precond

@@ -68,6 +68,14 @@ class Packer:
             return vec
         return jnp.where(self.valid_mask(), vec, jnp.zeros_like(vec))
 
+    def is_packed(self, x) -> bool:
+        "True if `x` is already in this packer's packed representation"
+        return isinstance(x, jnp.ndarray) and x.ndim == 1
+
+    def normal_like(self, key, like) -> jnp.ndarray:
+        "standard-normal noise in packed form (padding tail zeroed)"
+        return self.mask_pad(jax.random.normal(key, like.shape, like.dtype))
+
     def unpack(self, vec) -> Any:
         leaves = [
             jnp.reshape(vec[int(self.offsets[i]):int(self.offsets[i + 1])],

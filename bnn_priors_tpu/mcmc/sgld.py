@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from .packing import Packer
+from .segmented import SegPacker, vsum, vwhere
 
 
 class SGLDState(NamedTuple):
@@ -48,12 +49,20 @@ class SGLD:
     def __init__(self, num_data: float, momentum: float = 0.0,
                  rmsprop_alpha: float = 0.99, rmsprop_eps: float = 1e-8,
                  use_pallas: Optional[bool] = None,
-                 pallas_interpret: bool = False):
+                 pallas_interpret: bool = False, packing: str = "flat"):
         assert num_data >= 0 and momentum >= 0
+        assert packing in ("flat", "segmented")
         self.num_data = float(num_data)
         self.momentum = float(momentum)
         self.rmsprop_alpha = float(rmsprop_alpha)
         self.rmsprop_eps = float(rmsprop_eps)
+        # 'segmented': the chain state is the per-leaf pytree (SegVec) —
+        # removes the flat-vector<->conv-layout relayouts XLA otherwise
+        # performs every step (PERF.md "The flat-pack tax", ~1 ms/step on
+        # the K=8 ResNet-20 workload). 'flat' keeps the single packed
+        # vector (one fused update kernel; required by the Pallas fused
+        # update and byte-stable with older checkpoints).
+        self.packing = packing
         # Opt-in: the hand-written Pallas fused update (ops/fused_update).
         # Measured on TPU v5e: the default XLA path (packed state, scan-
         # carry buffer donation, hoisted preconditioner) streams at ~82% of
@@ -65,7 +74,7 @@ class SGLD:
         self.packer: Optional[Packer] = None
 
     def _fused_enabled(self, dtype) -> bool:
-        if self.use_pallas is None:
+        if self.use_pallas is None or isinstance(self.packer, SegPacker):
             return False  # XLA path wins on v5e (see __init__ note)
         return self.use_pallas and dtype == jnp.float32
 
@@ -79,7 +88,8 @@ class SGLD:
     # -- packing ----------------------------------------------------------
     def _ensure_packer(self, params_tree):
         if self.packer is None:
-            self.packer = Packer(params_tree)
+            cls = SegPacker if self.packing == "segmented" else Packer
+            self.packer = cls(params_tree)
         return self.packer
 
     def pack(self, tree):
@@ -100,20 +110,21 @@ class SGLD:
     def init(self, params_tree, key) -> SGLDState:
         packer = self._ensure_packer(params_tree)
         theta = packer.pack(params_tree)
+        zeros_like = lambda: jax.tree_util.tree_map(jnp.zeros_like, theta)
         return SGLDState(
             position=theta,
-            momentum=jnp.zeros_like(theta),
-            grads=jnp.zeros_like(theta),
-            square_avg=jnp.ones_like(theta),
-            precond=jnp.ones_like(theta),
+            momentum=zeros_like(),
+            grads=zeros_like(),
+            square_avg=jax.tree_util.tree_map(jnp.ones_like, theta),
+            # leaf-constant M^{-1/2}: full vector (flat) / per-leaf scalars
+            precond=packer.expand(jnp.ones((packer.n_leaves,), theta.dtype)),
             key=key,
         )
 
     def sample_momentum(self, state, temperature, keep=0.0):
         "m ← sqrt(keep)·m + sqrt(T(1-keep))·ξ (reference sgld.py:57-69)"
         key, sub = jax.random.split(state.key)
-        noise = self.packer.mask_pad(jax.random.normal(
-            sub, state.momentum.shape, state.momentum.dtype))
+        noise = self.packer.normal_like(sub, state.momentum)
         std = jnp.sqrt(temperature * (1.0 - keep))
         new_m = math.sqrt(keep) * state.momentum + std * noise
         return state._replace(momentum=new_m, key=key)
@@ -138,7 +149,7 @@ class SGLD:
         """One SGLD transition. `grads` may be the gradient pytree or the
         packed vector; already clipped by the caller."""
         assert not save_state, "SGLD keeps no rejection state (sgld.py:72-74)"
-        if not isinstance(grads, jnp.ndarray) or grads.ndim != 1:
+        if not self.packer.is_packed(grads):
             grads = self.pack(grads)
         a = self.momentum
         hn = jnp.sqrt(lr * self.num_data)
@@ -165,8 +176,7 @@ class SGLD:
                 self._seed_pair(sub), (a, -hn, noise_std, h, alpha),
                 total=self.packer.total, interpret=self.pallas_interpret)
         else:
-            noise = self.packer.mask_pad(jax.random.normal(
-                sub, state.position.shape, state.position.dtype))
+            noise = self.packer.normal_like(sub, state.position)
             if a > 0:
                 new_m = a * state.momentum - hn * M * grads + noise_std * noise
             else:

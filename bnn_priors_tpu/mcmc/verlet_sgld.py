@@ -33,6 +33,7 @@ from typing import Any, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from .segmented import vsum, vwhere
 from .sgld import SGLD
 
 
@@ -54,12 +55,12 @@ class VerletSGLD(SGLD):
     def init(self, params_tree, key, save_state: bool = False) -> VerletSGLDState:
         packer = self._ensure_packer(params_tree)
         theta = packer.pack(params_tree)
-        zeros = jnp.zeros_like(theta)
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, theta)
         zero = jnp.zeros((), theta.dtype)
         return VerletSGLDState(
             position=theta, momentum=zeros, grads=zeros,
-            square_avg=jnp.ones_like(theta),
-            precond=jnp.ones_like(theta),
+            square_avg=jax.tree_util.tree_map(jnp.ones_like, theta),
+            precond=packer.expand(jnp.ones((packer.n_leaves,), theta.dtype)),
             delta_energy_acc=zero, prev_nmd=zero,
             saved=((theta, zeros, zeros) if save_state else None),
             key=key,
@@ -87,13 +88,13 @@ class VerletSGLD(SGLD):
         "Σ M⁻¹·N²·b²h²/8·g² (verlet_sgld.py:44-47)"
         M = state.precond
         curv_c = self.num_data * lr / 8.0  # N²·(lr/N)/8
-        return curv_c * jnp.sum((M * grads) ** 2)
+        return curv_c * vsum((M * grads) ** 2)
 
     # -- the shared transition --------------------------------------------
     def _step(self, state: VerletSGLDState, grads, lr, temperature,
               kind: str, save_state: bool = False, calc_metrics: bool = True
               ) -> Tuple[VerletSGLDState, dict]:
-        if not isinstance(grads, jnp.ndarray) or grads.ndim != 1:
+        if not self.packer.is_packed(grads):
             grads = self.pack(grads)
         bh, bhn, mom_decay, grad_v, noise_std = self._constants(
             lr, temperature, kind)
@@ -123,16 +124,15 @@ class VerletSGLD(SGLD):
             g_mnew = c_gm * partials[1]
             pe_initial = (self.num_data * lr / 8.0) * partials[2]
         else:
-            noise = self.packer.mask_pad(jax.random.normal(
-                sub, state.position.shape, state.position.dtype))
+            noise = self.packer.normal_like(sub, state.position)
             # new momentum: σ·ξ + grad_lr·g + mom_decay·m_old
             new_m = (noise_std * noise + grad_lr * (M * grads)
                      + mom_decay * state.momentum)
             new_pos = state.position + pos_c * (M * new_m)
             new_sq = (alpha * state.square_avg
                       + (1 - alpha) * grads * grads)
-            g_mold = c_gm * jnp.sum(M * grads * state.momentum)
-            g_mnew = c_gm * jnp.sum(M * grads * new_m)
+            g_mold = c_gm * vsum(M * grads * state.momentum)
+            g_mnew = c_gm * vsum(M * grads * new_m)
             pe_initial = self._point_energy(state, grads, lr)
 
         # incremental energy accounting
@@ -170,8 +170,7 @@ class VerletSGLD(SGLD):
     def delta_energy(self, state: VerletSGLDState, grads, lr,
                      prev_potential, potential):
         "ΔE since the last initial_step (verlet_sgld.py:27-42)."
-        if grads is not None and (not isinstance(grads, jnp.ndarray)
-                                  or grads.ndim != 1):
+        if grads is not None and not self.packer.is_packed(grads):
             grads = self.pack(grads)
         if grads is None:
             grads = state.grads
@@ -202,7 +201,7 @@ class VerletSGLD(SGLD):
         if flip_on_reject:
             saved_mom = -saved_mom
         return (state._replace(
-            position=jnp.where(reject, saved_pos, state.position),
-            momentum=jnp.where(reject, saved_mom, state.momentum),
-            grads=jnp.where(reject, saved_grads, state.grads),
+            position=vwhere(reject, saved_pos, state.position),
+            momentum=vwhere(reject, saved_mom, state.momentum),
+            grads=vwhere(reject, saved_grads, state.grads),
             key=key), reject, log_accept_prob)

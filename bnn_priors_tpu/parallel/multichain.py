@@ -23,6 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import mcmc
+from ..mcmc.segmented import SegVec, vclip, vdot, vsum
 from ..inference.reject import exact_potential_and_grad
 from ..inference.schedules import make_schedule
 from ..jit_utils import donating_jit
@@ -51,8 +52,11 @@ class MultiChainRunner:
                  dtype=jnp.float32, augment_fn=None, model_savers=None,
                  init_params_fn=None, compute_dtype=None,
                  metrics_savers=None, metrics_skip=1, test_data=None,
-                 eval_batch_size=None):
+                 eval_batch_size=None, packing="segmented"):
         self.model = model
+        # chain-state representation; 'segmented' removes the per-step
+        # flat-vector<->conv-layout relayouts (PERF.md "The flat-pack tax")
+        self.packing = packing
         self.train_x, self.train_y = train_data
         self.n_chains = int(n_chains)
         self.N = int(self.train_x.shape[0])
@@ -88,10 +92,12 @@ class MultiChainRunner:
         kernel_cls = {"SGLD": mcmc.SGLD, "VerletSGLD": mcmc.VerletSGLD,
                       "HMC": mcmc.HMC}[kernel]
         if kernel == "HMC":
-            self.kernel = mcmc.HMC(num_data=self.eff_num_data)
+            self.kernel = mcmc.HMC(num_data=self.eff_num_data,
+                                   packing=self.packing)
         else:
             self.kernel = kernel_cls(num_data=self.eff_num_data,
-                                     momentum=momentum)
+                                     momentum=momentum,
+                                     packing=self.packing)
         # Chain init is hundreds of tiny eager prior-sample ops per chain;
         # through a remote device transport that is ~25 s PER CHAIN. Build
         # the states on the host CPU backend and ship only the packed
@@ -126,8 +132,8 @@ class MultiChainRunner:
         # gathers (distributed.host_value)
         self._multiprocess = mesh is not None and jax.process_count() > 1
         if self._multiprocess:
-            self.local_chains = sorted(
-                local_chain_rows(self.states.position).keys())
+            self.local_chains = sorted(local_chain_rows(
+                jax.tree_util.tree_leaves(self.states.position)[0]).keys())
         else:
             self.local_chains = list(range(self.n_chains))
         # optional list of per-chain HDF5ModelSaver-like objects: samples
@@ -212,7 +218,7 @@ class MultiChainRunner:
                                         compute_dtype=compute_dtype)
             (pot, (new_ms, aux)), g = jax.value_and_grad(
                 fn, has_aux=True)(kernel.unpack(state.position))
-            g = jnp.clip(kernel.pack(g), -grad_max, grad_max)
+            g = vclip(kernel.pack(g), -grad_max, grad_max)
             # cast: under x64 the f64 cosine schedule must not promote an
             # f32 chain state (the CLI runs f32 even when x64 is enabled)
             lr = jnp.asarray(lr0 * schedule(step), g.dtype)
@@ -235,9 +241,9 @@ class MultiChainRunner:
                 # temperature <theta,g>N/d
                 d = jnp.asarray(kernel.packer.total, g.dtype)
                 out["est_temperature"] = \
-                    jnp.sum(state.momentum * state.momentum) / d
+                    vsum(state.momentum * state.momentum) / d
                 out["est_config_temp"] = \
-                    jnp.sum(state.position * g) * (kernel.num_data / d)
+                    vdot(state.position, g) * (kernel.num_data / d)
             return state, new_ms, out
 
         def epoch(states, model_states, idxs, step0, temperatures, tx, ty):
@@ -505,10 +511,20 @@ class MultiChainRunner:
                 warnings.warn(f"chain {c}: potential is NaN/inf "
                               "(diverged; its samples will be unusable)")
 
+    def _position_rows(self):
+        "{chain: packed position row} for this process's chains"
+        pos = self.states.position
+        if isinstance(pos, SegVec):
+            per_leaf = [local_chain_rows(l) for l in pos.leaves]
+            return {c: SegVec(lr[c] for lr in per_leaf)
+                    for c in per_leaf[0]}
+        return {c: jnp.asarray(r)
+                for c, r in local_chain_rows(pos).items()}
+
     def _stream_sample(self, step):
         # rank-aware: each process writes ONLY its local chains' banks
         # (no cross-host sample traffic; the multi-host scale-out story)
-        pos_rows = local_chain_rows(self.states.position)
+        pos_rows = self._position_rows()
         ms_rows = {k: local_chain_rows(v)
                    for k, v in self.model_states.items()}
         for c in self.local_chains:
@@ -518,7 +534,7 @@ class MultiChainRunner:
                 # in the on-disk bank where post-hoc eval would silently
                 # ensemble NaNs
                 continue
-            params = self.kernel.unpack(jnp.asarray(pos_rows[c]))
+            params = self.kernel.unpack(pos_rows[c])
             sd = {k: np.asarray(v) for k, v in params.items()}
             sd.update({k: rows[c] for k, rows in ms_rows.items()})
             saver.add_state_dict(sd, step=step)
@@ -529,8 +545,10 @@ class MultiChainRunner:
         keys = jax.vmap(lambda k: jax.random.split(k))(states.key)
         noise_keys, new_keys = keys[:, 0], keys[:, 1]
 
+        packer = self.kernel.packer
+
         def refresh(m, k, T):
-            return jnp.sqrt(T) * jax.random.normal(k, m.shape, m.dtype)
+            return jnp.sqrt(T) * packer.normal_like(k, m)
         new_m = jax.vmap(refresh)(states.momentum, noise_keys,
                                   self.temperatures)
         return states._replace(momentum=new_m, key=new_keys)
@@ -544,7 +562,9 @@ class MultiChainRunner:
         for the raw bank."""
         out: Dict[str, list] = {}
         for position, mstate, step in self._samples:
-            params = jax.vmap(self.kernel.unpack)(jnp.asarray(position))
+            if not isinstance(position, SegVec):
+                position = jnp.asarray(position)
+            params = jax.vmap(self.kernel.unpack)(position)
             for k, v in params.items():
                 out.setdefault(k, []).append(np.asarray(v))
             for k, v in mstate.items():

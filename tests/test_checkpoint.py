@@ -55,9 +55,10 @@ def test_resume_is_bitwise_identical(cls, tmp_path):
             resume_from=str(tmp_path / "chain.ckpt.npz"))
 
     for name in ("position", "momentum", "square_avg", "precond"):
-        a = np.asarray(getattr(r_full.chain, name))
-        b = np.asarray(getattr(r_b.chain, name))
-        np.testing.assert_array_equal(a, b, err_msg=name)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=name),
+            getattr(r_full.chain, name), getattr(r_b.chain, name))
     np.testing.assert_array_equal(
         np.asarray(jax.random.key_data(r_full.chain.key)),
         np.asarray(jax.random.key_data(r_b.chain.key)))

@@ -9,6 +9,12 @@ from bnn_priors_tpu import models
 from bnn_priors_tpu.parallel import MultiChainRunner, MultiChainRunnerReject
 
 
+def _tree_equal(a, b):
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x),
+                                                   np.asarray(y)), a, b)
+
+
 def _toy(n=48, d=4, key=0):
     k1, k2 = jax.random.split(jax.random.key(key))
     x = jax.random.normal(k1, (n, d))
@@ -34,10 +40,8 @@ def test_base_runner_resume_bitwise(tmp_path):
     half.run(checkpoint_path=tmp_path / "mid.npz", checkpoint_every=2)
     resumed = _make(MultiChainRunner, x, y)
     resumed.run(resume_from=tmp_path / "mid.npz")
-    np.testing.assert_array_equal(np.asarray(resumed.states.position),
-                                  np.asarray(full.states.position))
-    np.testing.assert_array_equal(np.asarray(resumed.states.momentum),
-                                  np.asarray(full.states.momentum))
+    _tree_equal(resumed.states.position, full.states.position)
+    _tree_equal(resumed.states.momentum, full.states.momentum)
 
 
 def test_reject_runner_resume_bitwise(tmp_path):
@@ -49,8 +53,7 @@ def test_reject_runner_resume_bitwise(tmp_path):
     half.run(checkpoint_path=tmp_path / "mid.npz", checkpoint_every=2)
     resumed = _make(MultiChainRunnerReject, x, y)
     resumed.run(resume_from=tmp_path / "mid.npz")
-    np.testing.assert_array_equal(np.asarray(resumed.states.position),
-                                  np.asarray(full.states.position))
+    _tree_equal(resumed.states.position, full.states.position)
     # acceptance history restored + continued
     assert len(resumed.rejections) == len(full.rejections) == 2
     np.testing.assert_array_equal(np.stack(resumed.rejections),

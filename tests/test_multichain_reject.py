@@ -166,9 +166,10 @@ def test_nan_chain_quarantine():
         warmup_epochs=1, sample_epochs=1, key=jax.random.key(5),
         dtype=jnp.float64, model_savers=savers)
     # poison chain 1's position -> NaN potential on its first step
-    pos = np.array(runner.states.position)
-    pos[1] = np.nan
-    runner.states = runner.states._replace(position=jnp.asarray(pos))
+    runner.states = runner.states._replace(
+        position=jax.tree_util.tree_map(
+            lambda l: jnp.asarray(l).at[1].set(jnp.nan),
+            runner.states.position))
     with _warnings.catch_warnings():
         _warnings.simplefilter("ignore")
         runner.run()
@@ -183,9 +184,10 @@ def test_nan_chain_quarantine():
         momentum=0.9, batch_size=16, cycles=1, epochs_per_cycle=2,
         warmup_epochs=1, sample_epochs=1, key=jax.random.key(6),
         dtype=jnp.float64)
-    pos = np.array(runner2.states.position)
-    pos[0] = np.nan
-    runner2.states = runner2.states._replace(position=jnp.asarray(pos))
+    runner2.states = runner2.states._replace(
+        position=jax.tree_util.tree_map(
+            lambda l: jnp.asarray(l).at[0].set(jnp.nan),
+            runner2.states.position))
     with _warnings.catch_warnings():
         _warnings.simplefilter("ignore")
         runner2.run()

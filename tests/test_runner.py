@@ -187,8 +187,10 @@ def test_exact_gradient_matches_sum_of_batches():
     fn = model.potential_avg_fn({}, x, y, eff_num_data=50.0, train=True)
     (pot_ref, _), g_ref = jax.value_and_grad(fn, has_aux=True)(params)
     np.testing.assert_allclose(float(pot), float(pot_ref), rtol=1e-8)
-    np.testing.assert_allclose(
-        np.asarray(grads), np.asarray(runner.kernel.pack(g_ref)), rtol=1e-7)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), rtol=1e-7),
+        runner.kernel.unpack(grads), g_ref)
 
 
 def test_flip_on_reject_negates_momentum():
