@@ -7,8 +7,10 @@ Emits one JSON object per line:
     one chain per accelerator),
   * aggregate steps/s/chip for K in {4, 8} vmapped chains (batch 128
     each) + the implied per-chain efficiency vs K x single-chain,
-  * LAST line = the headline: aggregate GGMC steps/s/chip at K=8 —
-    the number the TPU-native design argues for. `vs_baseline` is
+  * LAST line = the headline: aggregate GGMC steps/s/chip at the best
+    measured K per dispatch — the number the TPU-native design argues
+    for (chains are independent, so an ensemble of any size runs as
+    sequential sweet-spot-sized dispatch groups). `vs_baseline` is
     against BASELINE_SELF (the first recorded single-chain figure), i.e.
     the whole-design speedup over the reference's one-chain-per-chip
     model at equal hardware.
@@ -129,11 +131,17 @@ def main():
     # what the production runner scans (inference/runner.py _scan_steps)
     n_steps = 391
     model = models.ResNet(depth=20, softmax_temp=1.0)
-    # segmented chain state: the production runners' default (PERF.md
-    # "The flat-pack tax" — no flat<->conv-layout relayouts per step)
-    kernel = mcmc.VerletSGLD(num_data=50000, momentum=0.994,
-                             packing="segmented")
 
+    def make_kernel(K):
+        # measured: the flat packed vector wins single-chain (one fused
+        # update, no relayout pressure at K=1: 945 vs 851 steps/s); the
+        # segmented per-leaf state wins the chain axis (PERF.md "The
+        # flat-pack tax": 1295 vs 849 aggregate at K=4). The runners use
+        # the same regime defaults.
+        return mcmc.VerletSGLD(num_data=50000, momentum=0.994,
+                               packing="flat" if K == 1 else "segmented")
+
+    kernel = make_kernel(1)
     run1, s1, m1 = build_run(1, model, kernel, n_steps)
     single = timed_steps_per_s(run1, s1, m1, n_steps)
     print(json.dumps({
@@ -142,14 +150,15 @@ def main():
         "vs_baseline": round(single / BASELINE_SELF, 3)}), flush=True)
 
     # Chain-axis runs use the production mixed-precision path
-    # (compute_dtype='bfloat16', train_bnn.py config key): XLA rewrites the
-    # vmapped per-chain convolutions into masked dense grouped convs whose
-    # MXU work scales as K^2 - bf16 halves that MXU time, which measured
-    # 1.66x aggregate at K=8 vs the f32 chain axis (K=8 is the measured
-    # sweet spot; K=16's quadratic waste regresses).
+    # (compute_dtype='bfloat16', train_bnn.py config key) over the
+    # segmented chain state. Measured K-curve (aggregate steps/s/chip,
+    # r4): K=2 1206, K=4 1295, K=6 1224, K=8 1166, K=16 1010 — the sweet
+    # spot is K=4/dispatch; larger banks run faster as sequential K=4
+    # groups.
     agg = {}
     for K in (4, 8):
-        runK, sK, mK = build_run(K, model, kernel, n_steps,
+        kernelK = make_kernel(K)
+        runK, sK, mK = build_run(K, model, kernelK, n_steps,
                                  compute_dtype=jnp.bfloat16)
         agg[K] = K * timed_steps_per_s(runK, sK, mK, n_steps)
         print(json.dumps({
@@ -162,11 +171,16 @@ def main():
             "value": round(agg[K] / (K * single), 3), "unit": "ratio",
             "vs_baseline": 1.0}), flush=True)
 
-    # headline LAST: the chain axis is the framework's scale story
+    # headline LAST: the chain axis is the framework's scale story.
+    # An ensemble of any size runs its chains in sweet-spot-sized
+    # dispatch groups, so the achievable aggregate rate is the BEST
+    # over K, not a fixed K.
+    bestK = max(agg, key=agg.get)
     print(json.dumps({
         "metric": "cifar10_resnet20_ggmc_aggregate_steps_per_s_per_chip",
-        "value": round(agg[8], 2), "unit": "steps/s/chip",
-        "vs_baseline": round(agg[8] / BASELINE_SELF, 3)}), flush=True)
+        "value": round(agg[bestK], 2), "unit": "steps/s/chip",
+        "chains_per_dispatch": bestK,
+        "vs_baseline": round(agg[bestK] / BASELINE_SELF, 3)}), flush=True)
 
 
 if __name__ == "__main__":

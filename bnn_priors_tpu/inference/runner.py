@@ -57,7 +57,7 @@ class SGLDRunner:
                  checkpoint_path=None, checkpoint_every=None,
                  profile_dir=None, profile_epoch=1, profile_max_steps=50,
                  matmul_precision=None, compute_dtype=None,
-                 packing="segmented"):
+                 packing="flat"):
         self.model = model
         self.train_x, self.train_y = train_data
         if test_data is not None:
@@ -116,10 +116,12 @@ class SGLDRunner:
         # stay f32) — see models/base.py log_likelihood(compute_dtype=...).
         self.compute_dtype = (jnp.dtype(compute_dtype)
                               if compute_dtype is not None else None)
-        # chain-state representation: 'segmented' (per-leaf pytree; no
-        # flat<->conv-layout relayouts — PERF.md "The flat-pack tax") or
-        # 'flat' (single packed vector). Same distributions; PRNG streams
-        # differ between the two (tests/test_segmented.py).
+        # chain-state representation: 'flat' (single packed vector, ONE
+        # fused update — measured fastest for a single chain) or
+        # 'segmented' (per-leaf pytree — removes the flat<->conv-layout
+        # relayouts that dominate VMAPPED chains; the multi-chain runner
+        # defaults to it. PERF.md "The flat-pack tax"). Same
+        # distributions; PRNG streams differ (tests/test_segmented.py).
         self.packing = packing
 
         self.n_full = self.N // self.batch_size

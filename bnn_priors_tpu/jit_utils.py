@@ -101,4 +101,5 @@ def donating_jit(fn, donate_argnums=(), **jit_kwargs):
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
         return jf(*_unalias_donated(args, donate_argnums), **kwargs)
+    wrapper._jitted = jf  # for tooling (lower/compile inspection)
     return wrapper

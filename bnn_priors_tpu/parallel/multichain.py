@@ -38,9 +38,10 @@ class MultiChainRunner:
 
     kernel_init_kwargs: dict = {}  # reject variants add save_state slots
 
-    # Measured on TPU v5e (PERF.md "The chain axis"): bf16 chains peak at
-    # K=8 per chip; K=16 regresses (the masked-dense K² MXU waste
-    # overtakes), and the f32 chain axis is sequential-equivalent.
+    # Measured on TPU v5e (PERF.md r4 K-curve, segmented state + bf16):
+    # aggregate steps/s/chip peaks at K=4/dispatch (1295) and falls past
+    # K=8 (1166; K=16: 1010 — below even K=2). The warning threshold is
+    # where throughput drops below the small-K regime.
     MAX_EFFICIENT_CHAINS_PER_DEVICE = 8
 
     def __init__(self, model, train_data, n_chains, temperatures=1.0,

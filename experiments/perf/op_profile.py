@@ -28,13 +28,21 @@ def main():
     import bench
 
     model = models.ResNet(depth=20, softmax_temp=1.0)
-    kernel = mcmc.VerletSGLD(num_data=50000, momentum=0.994)
+    kernel = mcmc.VerletSGLD(num_data=50000, momentum=0.994,
+                             packing="segmented")
     run, s, m = bench.build_run(K, model, kernel, n_steps,
                                 compute_dtype=(jnp.bfloat16 if K > 1
                                                else None))
     # warm up + compile OUTSIDE the trace; force completion via fetch
     s, m, pot = run(s, m)
     print("warmup pot:", float(pot), flush=True)
+    # dump the EXACT compiled HLO so profiler op names resolve to shapes
+    try:
+        jf = getattr(run, "_jitted", run)
+        Path("/tmp/k8.hlo").write_text(jf.lower(s, m).compile().as_text())
+        print("wrote /tmp/k8.hlo", flush=True)
+    except Exception as e:  # noqa: BLE001
+        print("hlo dump failed:", e, flush=True)
 
     trace_dir = "/tmp/xprof_trace"
     with jax.profiler.trace(trace_dir):

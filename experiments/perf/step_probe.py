@@ -23,7 +23,8 @@ def main():
     from bnn_priors_tpu import mcmc, models
 
     model = models.ResNet(depth=20, softmax_temp=1.0)
-    kernel = mcmc.VerletSGLD(num_data=50000, momentum=0.994)
+    kernel = mcmc.VerletSGLD(num_data=50000, momentum=0.994,
+                             packing="segmented")
     run, s, m = bench.build_run(K, model, kernel, n_steps,
                                 compute_dtype=(jnp.bfloat16 if K > 1
                                                else None))
