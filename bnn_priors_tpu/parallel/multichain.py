@@ -53,11 +53,15 @@ class MultiChainRunner:
                  dtype=jnp.float32, augment_fn=None, model_savers=None,
                  init_params_fn=None, compute_dtype=None,
                  metrics_savers=None, metrics_skip=1, test_data=None,
-                 eval_batch_size=None, packing="segmented"):
+                 eval_batch_size=None, packing="segmented",
+                 chain_group_size=None):
         self.model = model
         # chain-state representation; 'segmented' removes the per-step
         # flat-vector<->conv-layout relayouts (PERF.md "The flat-pack tax")
         self.packing = packing
+        # per-device chains per dispatch group (None = auto sweet spot,
+        # 0 = one big vmap); see _dispatch_groups
+        self.chain_group_size = chain_group_size
         self.train_x, self.train_y = train_data
         self.n_chains = int(n_chains)
         self.N = int(self.train_x.shape[0])
@@ -171,19 +175,23 @@ class MultiChainRunner:
     def _warn_chain_regime(self):
         """Measured-throughput guard (VERDICT r3 #8): the chain axis has a
         measured efficient regime on TPU; configs outside it silently run
-        slower than sequential chains. CPU runs (tests) are exempt."""
+        slower than sequential chains. Dispatch-group batching
+        (_dispatch_groups) handles large banks automatically, so this
+        only fires when grouping is disabled or cannot split the bank.
+        CPU runs (tests) are exempt."""
         if jax.default_backend() not in ("tpu", "axon"):
             return
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
-        k_per_dev = self.n_chains / max(n_dev, 1)
+        _, Kg = self._dispatch_groups()
+        k_per_dev = Kg / max(n_dev, 1)
         if k_per_dev > self.MAX_EFFICIENT_CHAINS_PER_DEVICE:
             warnings.warn(
-                f"{self.n_chains} chains on {n_dev} device(s) = "
+                f"{Kg} chains per dispatch on {n_dev} device(s) = "
                 f"{k_per_dev:.0f}/chip exceeds the measured throughput "
-                f"sweet spot of {self.MAX_EFFICIENT_CHAINS_PER_DEVICE} "
-                "chains/chip (PERF.md): aggregate steps/s regresses "
-                "beyond it. Use more devices (n_devices) or run several "
-                "smaller batches of chains.")
+                f"sweet spot (~{self.CHAIN_GROUP_TARGET}/chip, PERF.md "
+                "K-curve): aggregate steps/s regresses. Leave "
+                "chain_group_size=None for automatic dispatch grouping, "
+                "or use more devices (n_devices).")
         if k_per_dev > 1 and self.compute_dtype != jnp.dtype(jnp.bfloat16):
             warnings.warn(
                 "multi-chain vmap in float32 is sequential-equivalent on "
@@ -247,19 +255,67 @@ class MultiChainRunner:
                     vdot(state.position, g) * (kernel.num_data / d)
             return state, new_ms, out
 
+        # Dispatch-group batching: aggregate throughput per chip PEAKS at
+        # ~4 vmapped chains and falls beyond (measured K-curve, PERF.md:
+        # 1295 agg steps/s at K=4 vs 1010 at K=16). Chains are
+        # independent, so a big bank steps as SEQUENTIAL sweet-spot-sized
+        # groups inside the same scan — identical trajectories (each
+        # chain's update reads only its own state/minibatch/temperature),
+        # better MXU economics. G=1 reproduces the plain vmap.
+        G, Kg = self._dispatch_groups()
+        mesh = self.mesh
+
+        def regroup(tree):
+            return jax.tree_util.tree_map(
+                lambda a: a.reshape((G, Kg) + a.shape[1:]), tree)
+
+        def ungroup(tree, lead=0):
+            return jax.tree_util.tree_map(
+                lambda a: a.reshape(a.shape[:lead] + (G * Kg,)
+                                    + a.shape[lead + 2:]), tree)
+
+        def constrain(tree, spec):
+            if mesh is None:
+                return tree
+            sh = NamedSharding(mesh, spec)
+            return jax.tree_util.tree_map(
+                lambda a: jax.lax.with_sharding_constraint(a, sh), tree)
+
         def epoch(states, model_states, idxs, step0, temperatures, tx, ty):
             # idxs: (n_chains, n_batches, B); train data as traced args so
             # the HLO carries no dataset-sized constants
+            if G > 1:
+                # groups on axis 0 (sequential), sharded chains on axis 1
+                states, model_states, idxs, temperatures = constrain(
+                    regroup((states, model_states, idxs, temperatures)),
+                    P(None, "chains"))
+
             def body(carry, batch_i):
                 states, model_states = carry
-                idx = idxs[:, batch_i]
-                states, model_states, m = jax.vmap(
-                    chain_step, in_axes=(0, 0, 0, None, 0, None, None)
-                )(states, model_states, idx, step0 + batch_i, temperatures,
-                  tx, ty)
+                if G == 1:
+                    idx = idxs[:, batch_i]
+                    states, model_states, m = jax.vmap(
+                        chain_step, in_axes=(0, 0, 0, None, 0, None, None)
+                    )(states, model_states, idx, step0 + batch_i,
+                      temperatures, tx, ty)
+                else:
+                    def group_step(args):
+                        st, ms_g, idx_g, t_g = args
+                        return jax.vmap(
+                            chain_step, in_axes=(0, 0, 0, None, 0, None,
+                                                 None)
+                        )(st, ms_g, idx_g, step0 + batch_i, t_g, tx, ty)
+                    states, model_states, m = jax.lax.map(
+                        group_step,
+                        (states, model_states, idxs[:, :, batch_i],
+                         temperatures))
                 return (states, model_states), m
             (states, model_states), ms = jax.lax.scan(
-                body, (states, model_states), jnp.arange(idxs.shape[1]))
+                body, (states, model_states), jnp.arange(idxs.shape[-2]))
+            if G > 1:
+                states, model_states = constrain(
+                    ungroup((states, model_states)), P("chains"))
+                ms = ungroup(ms, lead=1)  # (n_batches, G, Kg, ...) -> K
             return states, model_states, ms
 
         # donate the chain/model-state carries: the epoch scan updates the
@@ -268,6 +324,28 @@ class MultiChainRunner:
         # peak HBM for the K-chain state). Dropped automatically on
         # backends that reject donation (jit_utils.donating_jit).
         return donating_jit(epoch, donate_argnums=(0, 1))
+
+    # measured per-dispatch chain sweet spot (PERF.md K-curve)
+    CHAIN_GROUP_TARGET = 4
+
+    def _dispatch_groups(self):
+        """(G, Kg): split the K chains into G sequential dispatch groups
+        of Kg = (chains/device ≤ CHAIN_GROUP_TARGET) × n_devices each.
+        Honors `chain_group_size` (per-device; None = auto, 0/False =
+        no grouping)."""
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        n_local = self.n_chains // max(n_dev, 1)
+        if self.n_chains % max(n_dev, 1) != 0 or n_local == 0:
+            return 1, self.n_chains
+        target = self.chain_group_size
+        if target is None:
+            target = self.CHAIN_GROUP_TARGET
+        if not target or n_local <= target:
+            return 1, self.n_chains
+        # largest per-device group size <= target that divides n_local
+        d = max(g for g in range(1, target + 1) if n_local % g == 0)
+        Kg = d * n_dev
+        return self.n_chains // Kg, Kg
 
     def _epoch_idxs(self, cycle=0, epoch=0):
         "(n_chains, n_full, B) independent permutations per chain"
