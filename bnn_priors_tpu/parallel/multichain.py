@@ -424,13 +424,13 @@ class MultiChainRunner:
             # the host fetch forces epoch completion, so epoch_s is real
             # device time even on transports whose block_until_ready
             # returns early (see bench.py timing note)
-            ms_host = self._host(ms)
+            ms_host, sel = self._fetch_epoch_metrics(ms, step)
             epoch_s = time.perf_counter() - t0
             step0 = step
             step += self.n_full
             metrics_hist.append(self._epoch_end_entry(ms_host))
             self._check_finite(metrics_hist[-1]["potential"])
-            self._stream_step_metrics(step0, ms_host, temps)
+            self._stream_step_metrics(step0, ms_host, temps, sel)
             self._eval_epoch(step, metrics_hist[-1])
             self._stream_timings(step, epoch_s)
             if (self.precond_update is not None
@@ -451,6 +451,28 @@ class MultiChainRunner:
         return metrics_hist
 
     # -- metric/eval streaming ---------------------------------------------
+    def _fetch_epoch_metrics(self, ms, step0):
+        """Device->host fetch of ONLY the metric rows that will be used:
+        the rows `_stream_step_metrics` logs (metrics_skip cadence) plus
+        the epoch's last row (epoch-end diagnostics). With no metrics
+        savers just the last row crosses the wire — the full per-step
+        tensor is (n_batches, K, n_leaves)-sized and a remote transport
+        pays for every byte. Returns (ms_host, sel_indices)."""
+        n = self.n_full
+        if self.metrics_savers is not None and self.metrics_skip <= 1:
+            return self._host(ms), None  # every row is logged anyway
+        if self.metrics_savers is None:
+            keep = [n - 1]
+        else:
+            keep = [i for i in range(n)
+                    if ((step0 + i) % self.metrics_skip == 0) or i == 0]
+            if keep[-1] != n - 1:
+                keep.append(n - 1)
+        sel = np.asarray(keep, dtype=np.int32)
+        idx = jnp.asarray(sel)
+        ms_sel = jax.tree_util.tree_map(lambda a: a[idx], ms)
+        return self._host(ms_sel), sel
+
     def _epoch_end_entry(self, ms_host):
         """last-step diagnostics per chain, with per-leaf est_* vectors
         aggregated to the '/all' scalar (size-weighted mean, the
@@ -462,10 +484,12 @@ class MultiChainRunner:
                 entry[k] = (entry[k] * w).sum(-1) / w.sum()
         return entry
 
-    def _stream_step_metrics(self, step0, ms_host, temps):
+    def _stream_step_metrics(self, step0, ms_host, temps, sel=None):
         """Write the per-step per-chain reference metric series
         (inference.py:262-294 cadence: step t's metrics under index t-1,
-        every `metrics_skip` steps but always the epoch's first)."""
+        every `metrics_skip` steps but always the epoch's first).
+        `sel` maps fetched rows to their in-epoch indices when only a
+        subset was brought to the host (_fetch_epoch_metrics)."""
         if self.metrics_savers is None:
             return
         names = self.kernel.packer.names
@@ -478,16 +502,17 @@ class MultiChainRunner:
                    for k in ("loss", "acc", "log_prior", "potential", "lr")
                    if k in ms_host}
         temps = np.asarray(temps)
-        n = est_t.shape[0]
+        rows = (range(est_t.shape[0]) if sel is None else sel)
         for c in self.local_chains:
             sv = self.metrics_savers[c]
             if sv is None:
                 continue
             add = sv.add_scalar
-            for i in range(n):
-                s = step0 + i
+            for j, i in enumerate(rows):
+                s = step0 + int(i)
                 if (s % self.metrics_skip != 0) and i != 0:
                     continue
+                i = j  # fetched-row index from here on
                 li = s - 1
                 for j, nm in enumerate(names):
                     add("preconditioner/" + nm, float(precond[c, j]), li)
@@ -856,13 +881,13 @@ class MultiChainRunnerReject(MultiChainRunner):
             self.states, self.model_states, ms = self._epoch_fn(
                 self.states, self.model_states, idxs,
                 jnp.asarray(step), temps, self.train_x, self.train_y)
-            ms_host = self._host(ms)
+            ms_host, sel = self._fetch_epoch_metrics(ms, step)
             epoch_s = time.perf_counter() - t0
             step0 = step
             step += self.n_full
             metrics_hist.append(self._epoch_end_entry(ms_host))
             self._check_finite(metrics_hist[-1]["potential"])
-            self._stream_step_metrics(step0, ms_host, temps)
+            self._stream_step_metrics(step0, ms_host, temps, sel)
             self._eval_epoch(step, metrics_hist[-1])
             self._stream_timings(step, epoch_s)
             precond_due = (self.precond_update is not None

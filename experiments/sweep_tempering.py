@@ -54,6 +54,8 @@ DEFAULTS = dict(
     batch_size=128,
     batchnorm=True,
     n_devices=None,                # chains mesh axis size (None = all)
+    chain_group_size=None,         # chains/device per dispatch group
+                                   # (None = measured sweet spot)
     checkpoint_every=None,         # epochs between full chain-state snapshots
     resume_from=None,              # checkpoint path: continue bit-for-bit
     device="tpu",
@@ -173,6 +175,7 @@ def main(cfg):
             model_savers=savers or None,
             metrics_savers=msavers, metrics_skip=cfg["metrics_skip"],
             test_data=(x_test, y_test),
+            chain_group_size=cfg["chain_group_size"],
             compute_dtype=cfg.get("compute_dtype"))
         ckpt = (str(Path(cfg["log_dir"]) / "sweep_checkpoint.npz")
                 if cfg["checkpoint_every"] else None)

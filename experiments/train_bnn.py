@@ -66,6 +66,9 @@ DEFAULTS = dict(
                                    # >1 dispatches to MultiChainRunner(Reject)
                                    # with one run dir per chain
     n_devices=None,                # chains mesh axis size (None = 1 device)
+    chain_group_size=None,         # chains/device per dispatch group
+                                   # (None = measured sweet spot; 0 = one
+                                   # big vmap over all chains)
     # multi-host (SURVEY §5.8): same command on every host with
     # num_processes=N process_id=<rank> coordinator_address=host:port
     coordinator_address=None,
@@ -356,6 +359,7 @@ def _run_multichain(cfg, run, data, model, loaded_params, model_state,
             model_savers=savers or None, init_params_fn=init_params_fn,
             metrics_savers=msavers, metrics_skip=cfg["metrics_skip"],
             test_data=(x_test, jnp.asarray(y_test)),
+            chain_group_size=cfg["chain_group_size"],
             compute_dtype=cfg["compute_dtype"], **extra)
         ckpt = (run.artifact("chains.ckpt.npz")
                 if cfg["checkpoint_every"] else None)
