@@ -63,7 +63,8 @@ def main(n_devices=8, backend="cpu", batch_size=64):
         t0 = time.perf_counter()
         for _ in range(reps):
             s, m, _ = fn(s, m, idxs, jnp.asarray(0), r.temperatures, x, y)
-        float(s.position[0, 0] if s.position.ndim == 2 else s.position[0])
+        # readback forces completion (position may be a SegVec pytree)
+        float(jnp.ravel(jax.tree_util.tree_leaves(s.position)[0])[0])
         dt = time.perf_counter() - t0
         steps = reps * idxs.shape[1] * n_chains
         return steps / dt
