@@ -238,9 +238,27 @@ class VerletSGLDRunnerReject(VerletSGLDRunner):
             perm = self._epoch_perm(cycle, epoch)
             idx_full = perm[: self.n_full * self.batch_size].reshape(
                 self.n_full, self.batch_size)
-            chain, model_state, ms = self._scan_steps(
-                self.chain, self.model_state, lr_index, idx_full,
-                temperature)
+            chain, model_state = self.chain, self.model_state
+            ms = None
+            start = 0
+            if (self.profile_dir is not None and e == self.profile_epoch
+                    and self.n_full > self.profile_max_steps):
+                # capped trace, like the base runner: a full-epoch device
+                # trace hangs remote transports (PERF.md)
+                cap = self.profile_max_steps
+                with jax.profiler.trace(self.profile_dir):
+                    chain, model_state, ms = self._scan_steps(
+                        chain, model_state, lr_index, idx_full[:cap],
+                        temperature)
+                    jax.block_until_ready(chain.position)
+                    np.asarray(ms["potential"][-1])
+                start = cap
+            if self.n_full - start > 0:
+                chain, model_state, ms_rest = self._scan_steps(
+                    chain, model_state, lr_index + start, idx_full[start:],
+                    temperature)
+                ms = ms_rest if ms is None else jax.tree_util.tree_map(
+                    lambda a, b: jnp.concatenate([a, b]), ms, ms_rest)
             n_steps = self.n_full
             if self.tail:
                 idx_tail = perm[self.n_full * self.batch_size:]

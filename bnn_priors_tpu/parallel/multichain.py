@@ -508,23 +508,24 @@ class MultiChainRunner:
             if sv is None:
                 continue
             add = sv.add_scalar
-            for j, i in enumerate(rows):
+            for r, i in enumerate(rows):
+                # i = in-epoch step offset, r = row index in the fetched
+                # (possibly subsampled) arrays
                 s = step0 + int(i)
                 if (s % self.metrics_skip != 0) and i != 0:
                     continue
-                i = j  # fetched-row index from here on
                 li = s - 1
                 for j, nm in enumerate(names):
                     add("preconditioner/" + nm, float(precond[c, j]), li)
-                    add("est_temperature/" + nm, float(est_t[i, c, j]), li)
-                    add("est_config_temp/" + nm, float(est_c[i, c, j]), li)
+                    add("est_temperature/" + nm, float(est_t[r, c, j]), li)
+                    add("est_config_temp/" + nm, float(est_c[r, c, j]), li)
                 add("est_temperature/all",
-                    float((est_t[i, c] * sizes).sum() / sizes.sum()), li)
+                    float((est_t[r, c] * sizes).sum() / sizes.sum()), li)
                 add("est_config_temp/all",
-                    float((est_c[i, c] * sizes).sum() / sizes.sum()), li)
+                    float((est_c[r, c] * sizes).sum() / sizes.sum()), li)
                 add("temperature", float(temps[c]), li)
                 for k, v in scalars.items():
-                    add(k, float(v[i, c]), li)
+                    add(k, float(v[r, c]), li)
 
     def _stream_timings(self, step, epoch_s):
         if self.metrics_savers is None:
