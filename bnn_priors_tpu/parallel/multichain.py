@@ -350,10 +350,17 @@ class MultiChainRunner:
     def _epoch_idxs(self, cycle=0, epoch=0):
         "(n_chains, n_full, B) independent permutations per chain"
         self.key, sub = jax.random.split(self.key)
-        keys = jax.random.split(sub, self.n_chains)
-        perms = jax.vmap(lambda k: jax.random.permutation(k, self.N))(keys)
-        return perms[:, : self.n_full * self.batch_size].reshape(
-            self.n_chains, self.n_full, self.batch_size)
+        if not hasattr(self, "_perm_fn"):
+            def perm(sub):
+                keys = jax.random.split(sub, self.n_chains)
+                perms = jax.vmap(
+                    lambda k: jax.random.permutation(k, self.N))(keys)
+                return perms[:, : self.n_full * self.batch_size].reshape(
+                    self.n_chains, self.n_full, self.batch_size)
+            # jitted: the eager version costs several dispatches per epoch
+            # through a remote transport
+            self._perm_fn = jax.jit(perm)
+        return self._perm_fn(sub)
 
     def _is_sampling_epoch(self, epoch):
         epoch = epoch % self.epochs_per_cycle
@@ -600,7 +607,16 @@ class MultiChainRunner:
             _, (lps, accs) = jax.lax.scan(body, None, (xs, ys, mask))
             return jnp.sum(lps) / n, jnp.sum(accs) / n
 
+        compute_dtype = self.compute_dtype
+
         def f(positions, model_states, xs, ys, mask):
+            if compute_dtype == jnp.dtype(jnp.bfloat16):
+                # evaluation follows the training MXU precision (the
+                # single-chain runner applies matmul_precision to its
+                # eval dispatch the same way)
+                with jax.default_matmul_precision("bfloat16"):
+                    return jax.vmap(one, in_axes=(0, 0, None, None, None))(
+                        positions, model_states, xs, ys, mask)
             return jax.vmap(one, in_axes=(0, 0, None, None, None))(
                 positions, model_states, xs, ys, mask)
         return jax.jit(f)
@@ -747,12 +763,14 @@ class MultiChainRunnerReject(MultiChainRunner):
 
     # -- fixed data order per (chain, cycle) --------------------------------
     def _epoch_idxs(self, cycle=0, epoch=0):
-        def perm(k):
-            return jax.random.permutation(jax.random.fold_in(k, cycle),
-                                          self.N)
-        perms = jax.vmap(perm)(self._chain_perm_keys)
-        return perms[:, : self.n_full * self.batch_size].reshape(
-            self.n_chains, self.n_full, self.batch_size)
+        if not hasattr(self, "_perm_fn"):
+            def perms_of(keys, cycle):
+                perms = jax.vmap(lambda k: jax.random.permutation(
+                    jax.random.fold_in(k, cycle), self.N))(keys)
+                return perms[:, : self.n_full * self.batch_size].reshape(
+                    self.n_chains, self.n_full, self.batch_size)
+            self._perm_fn = jax.jit(perms_of)
+        return self._perm_fn(self._chain_perm_keys, jnp.asarray(cycle))
 
     # -- vmapped exact gradient + boundaries ---------------------------------
     def _exact_one(self, position, model_state, tx, ty):
