@@ -29,12 +29,10 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .packing import Packer
 
-__all__ = ("SegVec", "SegPacker", "vsum", "vdot", "vclip", "vwhere",
-           "vabs_max")
+__all__ = ("SegVec", "SegPacker", "vsum", "vdot", "vclip", "vwhere")
 
 
 @jax.tree_util.register_pytree_node_class
@@ -119,12 +117,6 @@ def vclip(v, lo, hi):
     if isinstance(v, SegVec):
         return SegVec(jnp.clip(l, lo, hi) for l in v.leaves)
     return jnp.clip(v, lo, hi)
-
-
-def vabs_max(v):
-    if isinstance(v, SegVec):
-        return jnp.max(jnp.stack([jnp.max(jnp.abs(l)) for l in v.leaves]))
-    return jnp.max(jnp.abs(v))
 
 
 def vwhere(pred, a, b):
