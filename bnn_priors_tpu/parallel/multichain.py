@@ -31,6 +31,19 @@ from .chains import init_chains_diverse
 from .distributed import host_value, local_chain_rows, put_chains
 
 
+def _regroup(tree, G, Kg):
+    "leading chain axis (K, ...) -> (G, Kg, ...) dispatch groups"
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((G, Kg) + a.shape[1:]), tree)
+
+
+def _ungroup(tree, lead=0):
+    "(..., G, Kg, ...) -> (..., G*Kg, ...) with `lead` leading dims kept"
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape(a.shape[:lead] + (a.shape[lead] * a.shape[lead + 1],)
+                            + a.shape[lead + 2:]), tree)
+
+
 class MultiChainRunner:
     """Cyclical SG-MCMC over K vmapped chains (descent/warmup/sampling
     phases, cosine cycles). Non-reject kernels (SGLD / VerletSGLD mid
@@ -264,15 +277,8 @@ class MultiChainRunner:
         # better MXU economics. G=1 reproduces the plain vmap.
         G, Kg = self._dispatch_groups()
         mesh = self.mesh
-
-        def regroup(tree):
-            return jax.tree_util.tree_map(
-                lambda a: a.reshape((G, Kg) + a.shape[1:]), tree)
-
-        def ungroup(tree, lead=0):
-            return jax.tree_util.tree_map(
-                lambda a: a.reshape(a.shape[:lead] + (G * Kg,)
-                                    + a.shape[lead + 2:]), tree)
+        regroup = lambda tree: _regroup(tree, G, Kg)
+        ungroup = _ungroup
 
         def constrain(tree, spec):
             if mesh is None:
@@ -780,9 +786,17 @@ class MultiChainRunnerReject(MultiChainRunner):
             N=self.N, eff_num_data=self.eff_num_data, grad_max=self.grad_max)
 
     def _build_exact_fn(self):
+        G, Kg = self._dispatch_groups()
+
         def f(states, model_states, tx, ty):
-            return jax.vmap(self._exact_one, in_axes=(0, 0, None, None))(
-                states.position, model_states, tx, ty)
+            vm = jax.vmap(self._exact_one, in_axes=(0, 0, None, None))
+            if G == 1:
+                return vm(states.position, model_states, tx, ty)
+            # the exact pass is a full-data sweep per chain — run it in
+            # the same sweet-spot-sized dispatch groups as the epoch
+            grouped = _regroup((states.position, model_states), G, Kg)
+            out = jax.lax.map(lambda a: vm(a[0], a[1], tx, ty), grouped)
+            return _ungroup(out)
         # states (arg 0) stays live at the caller — donate model_states only
         return donating_jit(f, donate_argnums=(1,))
 
@@ -809,11 +823,20 @@ class MultiChainRunnerReject(MultiChainRunner):
                  "acc": acc}
             return state, model_state, m, de, rejected, next_pot
 
+        G, Kg = self._dispatch_groups()
+
         def f(states, model_states, lr_index, temps, initial_pots, tx, ty):
             lr = jnp.asarray(lr0 * schedule(lr_index),
                              states.position.dtype)
-            return jax.vmap(one, in_axes=(0, 0, 0, 0, None, None, None))(
-                states, model_states, temps, initial_pots, lr, tx, ty)
+            vm = jax.vmap(one, in_axes=(0, 0, 0, 0, None, None, None))
+            if G == 1:
+                return vm(states, model_states, temps, initial_pots, lr,
+                          tx, ty)
+            grouped = _regroup((states, model_states, temps, initial_pots),
+                               G, Kg)
+            out = jax.lax.map(
+                lambda a: vm(a[0], a[1], a[2], a[3], lr, tx, ty), grouped)
+            return _ungroup(out)
         return donating_jit(f, donate_argnums=(0, 1))
 
     def _build_binit_fn(self):
