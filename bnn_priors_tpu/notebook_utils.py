@@ -1,47 +1,60 @@
-"""Run-collection utilities for analysis notebooks
-(reference: `bnn_priors/notebook_utils.py`)."""
+"""Run-collection utilities for the analysis notebooks.
+
+Behavioral contract (reference: `bnn_priors/notebook_utils.py`): a sweep
+directory holds one subdirectory per run, each with `config.json` and
+`run.json` (written by `exp.config.RunDirectory`); `collect_runs` turns them
+into one DataFrame row per run with dot-flattened keys plus a `the_dir`
+column, and `unique_cols` lists the swept hyperparameters. Implemented on
+`pandas.json_normalize` rather than hand-rolled recursion.
+"""
 from __future__ import annotations
 
 import json
-import os
 from pathlib import Path
 
 import pandas as pd
 
 __all__ = ("flatten", "collect_runs", "unique_cols")
 
+# Directories that live alongside run dirs but are not runs: sacred's source
+# snapshot dir and the jug task-queue state dir (exp/taskqueue.py creates it).
+_NON_RUN_DIRS = frozenset({"_sources", "jugdir"})
 
-def flatten(in_dict):
-    out = {}
-    for k, v in in_dict.items():
-        if isinstance(v, dict):
-            out.update({f"{k}.{vk}": vv for vk, vv in flatten(v).items()})
-        else:
-            out[k] = v
-    return out
+
+def flatten(nested: dict) -> dict:
+    "nested dict → flat dict with dot-joined keys ({'a': {'b': 1}} → {'a.b': 1})"
+    return pd.json_normalize(nested, sep=".").to_dict(orient="records")[0] \
+        if nested else {}
+
+
+def _read_json(path: Path):
+    with open(path) as f:
+        return json.load(f)
 
 
 def collect_runs(base_log_dir, metrics_must_exist=True) -> pd.DataFrame:
-    "gather config.json + run.json of every run dir into a DataFrame"
-    base_log_dir = Path(base_log_dir)
-    series_list = []
-    for run in os.listdir(base_log_dir):
-        if run in ("_sources", "jugdir"):
+    """Gather every run directory under `base_log_dir` into a DataFrame:
+    config.json and run.json keys dot-flattened into columns, plus `the_dir`
+    (the run directory Path). Runs missing either JSON file — or, with
+    `metrics_must_exist`, a metrics.h5 — are skipped (crashed/in-flight)."""
+    records = []
+    for run_dir in sorted(Path(base_log_dir).iterdir()):
+        if not run_dir.is_dir() or run_dir.name in _NON_RUN_DIRS:
             continue
-        if metrics_must_exist and not (base_log_dir / run / "metrics.h5").exists():
+        if metrics_must_exist and not (run_dir / "metrics.h5").is_file():
             continue
         try:
-            with open(base_log_dir / run / "run.json") as f:
-                s2 = pd.Series(flatten(json.load(f)))
-            with open(base_log_dir / run / "config.json") as f:
-                s1 = pd.Series(flatten(json.load(f)))
+            record = {**flatten(_read_json(run_dir / "config.json")),
+                      **flatten(_read_json(run_dir / "run.json"))}
         except FileNotFoundError:
             continue
-        s2["the_dir"] = base_log_dir / run
-        series_list.append(pd.concat([s1, s2]))
-    return pd.DataFrame(series_list)
+        record["the_dir"] = run_dir
+        records.append(record)
+    return pd.DataFrame.from_records(records)
 
 
+# Columns that differ between runs without being swept hyperparameters:
+# run-lifecycle bookkeeping and result metrics.
 _DEFAULT_BLACKLIST = {
     "heartbeat", "log_dir", "run_id", "start_time", "status", "stop_time",
     "the_dir", "seed",

@@ -20,8 +20,8 @@ import scipy.signal
 import scipy.stats
 
 __all__ = ("load_metrics", "get_sizes", "weighted_var_se", "ewma",
-           "temperature_stderr", "kinetic_temperature_intervals", "metric",
-           "vlines")
+           "temperature_stderr", "chi2_coverage",
+           "kinetic_temperature_intervals", "metric", "vlines")
 
 
 def load_metrics(path) -> Dict:
@@ -50,30 +50,42 @@ def get_sizes(params: Dict[str, np.ndarray]) -> Dict[str, int]:
 
 
 def weighted_var_se(w, x):
-    """Mean and variance of a weighted mean (Cochran 1977).
+    """Mean of a weighted mean and the (squared) standard error of that mean,
+    via the ratio-estimator variance of Cochran (1977, "Sampling Techniques",
+    eq. 6.9 applied to x̄_w = Σwx/Σw):
+
+        Var(x̄_w) ≈ n / ((n-1)·W²) · Σᵢ wᵢ²·(xᵢ − x̄_w)²,   W = Σᵢ wᵢ.
+
+    (The three-term expansion used in `reference/plot.py:18-37` — which
+    adapts a CC BY-SA stats.stackexchange answer — reduces algebraically to
+    this single sum of weighted squared residuals; derived independently
+    here from the ratio-estimator form.)
 
     w: (n,) weights; x: (..., n) per-parameter series. Returns (mean, var)."""
+    w = np.asarray(w, dtype=float)
     n, = w.shape
     assert x.shape[-1] == n
-    xWbar = (x @ w) / w.sum()
-    wbar = w.mean()
-    w__wbar = w - wbar
-    wx__wbar_xWbar = w * x - wbar * xWbar[..., None]
-    se = n / ((n - 1) * w.sum() ** 2) * (
-        (wx__wbar_xWbar ** 2).sum(-1)
-        - 2 * xWbar * (wx__wbar_xWbar @ w__wbar)
-        + xWbar ** 2 * (w__wbar @ w__wbar))
-    return xWbar, se
+    total_w = w.sum()
+    mean = (x @ w) / total_w
+    resid = w * (x - mean[..., None])
+    var = (resid ** 2).sum(-1) * n / ((n - 1) * total_w ** 2)
+    return mean, var
 
 
 def ewma(array, alpha):
-    "exponential moving average smoothing with decay alpha (0 = off)"
+    """Exponential moving average y_t = α·y_{t-1} + (1-α)·x_t with y_{-1}=x_0
+    (so the series starts at the first observation). alpha=0 disables.
+
+    Runs as a first-order IIR filter; for the direct-form-II-transposed state
+    of ``lfilter`` with b=[1-α], a=[1, -α], the state update is z_t = α·y_t,
+    so seeding y_{-1}=x_0 means an initial state of [α·x_0]."""
     if alpha == 0.0:
         return array
-    b = [1 - alpha]
-    a = [1, -alpha]
-    zi = scipy.signal.lfiltic(b, a, array[0:1], [0])
-    return scipy.signal.lfilter(b, a, array, zi=zi)[0]
+    array = np.asarray(array)
+    zi = np.array([alpha * array[0]], dtype=float)
+    smoothed, _ = scipy.signal.lfilter([1.0 - alpha], [1.0, -alpha],
+                                       array, zi=zi)
+    return smoothed
 
 
 def _plot_band(ax, x, mean, var, ewma_alpha, color=None, label=None,
@@ -147,14 +159,27 @@ def temperature_stderr(ax, metrics, temp_group, sizes: Dict[str, int],
         ax.legend()
 
 
-def _gamma_confidence(sizes: Dict[str, int], c=0.95):
-    "per-parameter χ²(d) confidence intervals for kinetic temperature (T=1)"
-    d = {}
-    for k, df in sizes.items():
-        lower = scipy.stats.chi2.ppf((1 - c) / 2, df=df, scale=1 / df)
-        upper = scipy.stats.chi2.ppf((1 + c) / 2, df=df, scale=1 / df)
-        d[k] = (lower, upper)
-    return d
+def chi2_coverage(est_temps, temperature, dfs, confidences):
+    """Vectorized χ² interval-coverage counts for kinetic temperature.
+
+    If momenta are sampled at temperature T, the per-parameter kinetic
+    temperature estimate of a d-dimensional parameter is T·χ²(d)/d
+    distributed, so ``est/T`` should land inside the central χ²(d)/d
+    interval at rate = confidence level.
+
+    est_temps: (T_steps, P) per-parameter kinetic-temperature series.
+    temperature: (T_steps,) target temperature. dfs: (P,) parameter sizes.
+    confidences: (C,) central-interval levels.
+    Returns (C, T_steps) fraction of parameters inside each interval."""
+    confidences = np.asarray(confidences, dtype=float)
+    dfs = np.asarray(dfs, dtype=float)
+    tail = (1.0 - confidences)[:, None] / 2.0                    # (C, 1)
+    lower = scipy.stats.chi2.ppf(tail, dfs) / dfs                # (C, P)
+    upper = scipy.stats.chi2.ppf(1.0 - tail, dfs) / dfs          # (C, P)
+    scaled = est_temps / np.asarray(temperature)[:, None]        # (T, P)
+    inside = ((lower[:, None, :] <= scaled[None]) &
+              (scaled[None] <= upper[:, None, :]))               # (C, T, P)
+    return inside.mean(axis=-1)
 
 
 def kinetic_temperature_intervals(ax, metrics, sizes: Dict[str, int],
@@ -164,33 +189,26 @@ def kinetic_temperature_intervals(ax, metrics, sizes: Dict[str, int],
                                   hline_kwargs={}, plot_kwargs={}):
     """Fraction of parameters whose kinetic temperature falls inside each
     χ²(d) confidence interval — should track the confidence level if the
-    sampler is healthy (the paper's key diagnostic)."""
+    sampler is healthy (the paper's key diagnostic). Computed by
+    `chi2_coverage` on a stacked (steps, params) array."""
     import matplotlib.pyplot as plt
-    confidences = np.array(confidences)
-    intervals = _gamma_confidence(sizes, confidences)
-    temperature = metrics["temperature"][mask]
+    confidences = np.asarray(confidences, dtype=float)
     keys = [k for k in metrics["est_temperature"].keys() if k != "all"]
-
-    counts = None
-    for k in keys:
-        adjusted = metrics["est_temperature"][k][mask] / temperature
-        lower, upper = intervals[k]
-        within = np.logical_and(lower[:, None] <= adjusted,
-                                adjusted <= upper[:, None])
-        counts = within.astype(float) if counts is None else counts + within
-    counts /= len(keys)
+    est = np.stack([metrics["est_temperature"][k][mask] for k in keys],
+                   axis=-1)
+    dfs = np.array([sizes[k] for k in keys])
+    coverage = chi2_coverage(est, metrics["temperature"][mask], dfs,
+                             confidences)
 
     cmap = cmap or plt.get_cmap("plasma")
-    colors = cmap(confidences)
     steps = metrics["steps"][mask]
-    for confidence, count, color in zip(confidences, counts, colors):
-        line = ax.axhline(confidence, linestyle="--", linewidth=0.5,
+    for level, series, color in zip(confidences, coverage, cmap(confidences)):
+        line = ax.axhline(level, linestyle="--", linewidth=0.5,
                           color=color, **hline_kwargs)
-        count = ewma(count, ewma_alpha)
         kwargs = dict(linestyle="-", color=line.get_color(),
-                      label=f"{label} {confidence:.2f}")
+                      label=f"{label} {level:.2f}")
         kwargs.update(plot_kwargs)
-        ax.plot(steps, count, **kwargs)
+        ax.plot(steps, ewma(series, ewma_alpha), **kwargs)
     if legend:
         ax.legend()
 
@@ -198,7 +216,10 @@ def kinetic_temperature_intervals(ax, metrics, sizes: Dict[str, int],
 def metric(ax, metrics, name, mask=slice(None), ewma_alpha: float = 0.0,
            legend=True, iqr_ylim=None, transform=(lambda x: x),
            plot_kwargs={}):
-    "plot one named metric series with optional EWMA smoothing/IQR clipping"
+    """Plot one named metric series with optional EWMA smoothing. With
+    ``iqr_ylim=r``, clip the y-axis to median ± r·IQR (a robust window that
+    survives divergence spikes), never clipping tighter than the data range
+    padded by 5% of the IQR."""
     val = ewma(transform(metrics[name][mask]), ewma_alpha)
     kwargs = dict(label=name)
     kwargs.update(plot_kwargs)
@@ -206,21 +227,20 @@ def metric(ax, metrics, name, mask=slice(None), ewma_alpha: float = 0.0,
     if legend:
         ax.legend()
     if iqr_ylim is not None:
-        all_min, q25, median, q75, all_max = np.nanpercentile(
-            val, (0, 25, 50, 75, 100))
+        q25, median, q75 = np.nanpercentile(val, (25, 50, 75))
         iqr = q75 - q25
-        ax.set_ylim((max(median - iqr_ylim * iqr, all_min - 0.05 * iqr),
-                     min(median + iqr_ylim * iqr, all_max + 0.05 * iqr)))
+        pad = 0.05 * iqr
+        lo = max(median - iqr_ylim * iqr, np.nanmin(val) - pad)
+        hi = min(median + iqr_ylim * iqr, np.nanmax(val) + pad)
+        ax.set_ylim((lo, hi))
 
 
 def vlines(ax, metrics, mask, plot_kwargs={}):
-    "vertical markers at the masked steps (e.g. sample boundaries)"
-    from matplotlib.collections import LineCollection
-    x_vlines = metrics["steps"][mask]
-    segs = np.zeros((len(x_vlines), 2, 2))
-    segs[:, :, 0] = x_vlines[:, None]
-    segs[:, 1, 1] = 1.0
-    trans = ax.get_xaxis_transform(which="grid")
-    kwargs = dict(color="red", linestyle="--", transform=trans)
+    """Full-height vertical markers at the masked steps (e.g. stored-sample
+    boundaries), drawn in axis-fraction y coordinates so they span the axes
+    regardless of data limits."""
+    steps = metrics["steps"][mask]
+    kwargs = dict(color="red", linestyle="--")
     kwargs.update(plot_kwargs)
-    ax.add_collection(LineCollection(segs, **kwargs))
+    ax.vlines(steps, 0.0, 1.0,
+              transform=ax.get_xaxis_transform(which="grid"), **kwargs)
