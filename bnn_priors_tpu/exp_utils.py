@@ -65,7 +65,15 @@ def get_data_from_config(cfg, key=None):
         key = jax.random.key(cfg["seed"])
     data_name = cfg["data"]
     if not data_name.startswith("synthetic."):
-        return get_data(data_name), key
+        # toy datasets (random/random_ood_test) draw their points from a
+        # numpy RNG; pin it to the config seed so `eval_bnn.py` re-hydration
+        # evaluates the SAME dataset the model trained on. (The reference
+        # leaves these unseeded — toy_data.py:91-99 — so its eval on
+        # data=random silently scores a fresh dataset; deliberate fix.)
+        try:
+            return get_data(data_name, seed=int(cfg["seed"])), key
+        except TypeError:  # file-backed datasets are deterministic, no seed
+            return get_data(data_name), key
     _, base_name, prior_name = data_name.split(".")
     try:
         # toy bases draw random inputs — pin them to the config seed so

@@ -52,10 +52,12 @@ class MultiChainRunner:
     kernel_init_kwargs: dict = {}  # reject variants add save_state slots
 
     # Measured on TPU v5e (PERF.md r4 K-curve, segmented state + bf16):
-    # aggregate steps/s/chip peaks at K=4/dispatch (1295) and falls past
-    # K=8 (1166; K=16: 1010 — below even K=2). The warning threshold is
-    # where throughput drops below the small-K regime.
-    MAX_EFFICIENT_CHAINS_PER_DEVICE = 8
+    # aggregate steps/s/chip peaks at K=4/dispatch (1295; K=2 1206,
+    # K=8 1166, K=16 1010). The warning threshold matches the measured
+    # peak = CHAIN_GROUP_TARGET: anything above it means dispatch
+    # grouping was disabled or could not split the bank, and aggregate
+    # throughput regresses off the peak.
+    MAX_EFFICIENT_CHAINS_PER_DEVICE = 4
 
     def __init__(self, model, train_data, n_chains, temperatures=1.0,
                  kernel="VerletSGLD", learning_rate=1e-2, momentum=0.994,
@@ -110,6 +112,15 @@ class MultiChainRunner:
         kernel_cls = {"SGLD": mcmc.SGLD, "VerletSGLD": mcmc.VerletSGLD,
                       "HMC": mcmc.HMC}[kernel]
         if kernel == "HMC":
+            # OurHMC semantics (reference HMCRunner, inference.py): T=1,
+            # momentum=1, no descent phase; momenta are fully refreshed
+            # between trajectories (here: after every sampling epoch, plus
+            # the initial refresh — the single-chain boundary cadence).
+            assert bool(jnp.all(temps == 1.0)), \
+                "HMC kernel requires temperature=1 for every chain"
+            assert momentum == 1.0, "HMC only works with momentum=1"
+            assert self.descent_epochs == 0, \
+                "HMC not implemented for descent (T=0) epochs"
             self.kernel = mcmc.HMC(num_data=self.eff_num_data,
                                    packing=self.packing)
         else:
@@ -457,6 +468,12 @@ class MultiChainRunner:
                     self._samples.append(
                         (self._host(self.states.position),
                          self._host(dict(self.model_states)), step))
+                if isinstance(self.kernel, mcmc.HMC):
+                    # OurHMC: trajectory boundary after each sampling epoch
+                    # — full momentum resample (no M-H; the single-chain
+                    # HMCRunner refreshes at the same boundaries,
+                    # runner.py:611,638)
+                    self.states = self._sample_momentum_all()
             if (checkpoint_path is not None and checkpoint_every is not None
                     and (e + 1) % checkpoint_every == 0):
                 self.save_checkpoint(checkpoint_path, e + 1, step)

@@ -64,7 +64,13 @@ def main(cfg):
         mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("samples",))
 
     if cfg["eval_data"]:
-        data = exp_utils.get_data(cfg["eval_data"])
+        # pin toy eval datasets to the train seed so repeated evals score
+        # the same points (deterministic datasets reject the kwarg)
+        try:
+            data = exp_utils.get_data(cfg["eval_data"],
+                                      seed=int(train_cfg["seed"]))
+        except TypeError:
+            data = exp_utils.get_data(cfg["eval_data"])
     else:
         # regenerates synthetic.<base>.<prior> datasets from the train seed
         data, _ = exp_utils.get_data_from_config(train_cfg)

@@ -91,7 +91,8 @@ def main(cfg):
     from bnn_priors_tpu.parallel import (MultiChainRunner,
                                          MultiChainRunnerReject)
 
-    data = exp_utils.get_data(cfg["data"])
+    # seed-aware (data=random regenerates identically at eval re-hydration)
+    data, _ = exp_utils.get_data_from_config(cfg)
     x_train = jnp.asarray(data.norm.train_X, dtype=jnp.float32)
     y_train = data.norm.train_y
     x_test = jnp.asarray(data.norm.test_X, dtype=jnp.float32)

@@ -260,11 +260,12 @@ def _run_multichain(cfg, run, data, model, loaded_params, model_state,
     n_chains = int(cfg["n_chains"])
     reject_kernels = {"VerletSGLDReject": "VerletSGLD", "HMCReject": "HMC",
                       "SGLDReject": "SGLD", "HMC": "HMC"}
-    plain_kernels = {"SGLD": "SGLD", "VerletSGLD": "VerletSGLD"}
+    # OurHMC = HMC kernel without M-H; MultiChainRunner refreshes momenta
+    # at the single-chain HMCRunner's trajectory boundaries
+    plain_kernels = {"SGLD": "SGLD", "VerletSGLD": "VerletSGLD",
+                     "OurHMC": "HMC"}
     assert cfg["inference"] in {**reject_kernels, **plain_kernels}, \
-        f"inference={cfg['inference']!r} not supported with n_chains>1 " \
-        f"(OurHMC needs per-epoch momentum refresh without M-H; use " \
-        f"HMCReject)"
+        f"inference={cfg['inference']!r} not supported with n_chains>1"
     is_reject = cfg["inference"] in reject_kernels
     batch_size = int(cfg["batch_size"])
     if cfg["inference"] == "HMC":  # classical HMC: exact full-data grads
