@@ -60,6 +60,57 @@ class HDF5Metrics:
         self._cache[name][-1] = value
         return self
 
+    def add_rows(self, columns: Dict[str, "np.ndarray"], steps):
+        """Vectorized `add_scalar`: append a whole block of rows at once.
+        `steps` is strictly increasing; `columns` maps metric name to a
+        `(len(steps),)` value array. A first row at the current
+        (still-cached) step merges into it — that is how a per-epoch metric
+        block joins the previous epoch's boundary/eval row, which lives at
+        the same step index. Orders of magnitude fewer Python calls than
+        per-scalar writes for wide metric schemas (e.g. the per-parameter
+        temperature series of a ResNet)."""
+        steps = np.asarray(steps, dtype=np.int64)
+        n = int(steps.size)
+        if n == 0:
+            return self
+        assert np.all(np.diff(steps) > 0), "steps must be strictly increasing"
+        cols = {}
+        for name, vals in columns.items():
+            arr = np.asarray(vals)
+            assert arr.shape == (n,), (name, arr.shape, n)
+            cols[name] = arr
+        start = 0
+        first = int(steps[0])
+        if first < self.step:
+            raise ValueError(f"step went backwards ({self.step} -> {first})")
+        if first == self.step:
+            if not self._cache_steps:  # row was just flushed; re-open it
+                self._cache_steps.append(self.step)
+                for vals in self._cache.values():
+                    vals.append(_nan_for(vals))
+            for name, arr in cols.items():
+                if name not in self._cache:
+                    self._cache[name] = ([_nan_scalar(arr.dtype)]
+                                         * len(self._cache_steps))
+                self._cache[name][-1] = arr[0]
+            start = 1
+        if n - start == 0:
+            return self
+        base = len(self._cache_steps)
+        self._cache_steps.extend(int(s) for s in steps[start:])
+        filler_n = n - start
+        for name, vals in self._cache.items():
+            if name in cols:
+                vals.extend(cols[name][start:])
+            else:
+                vals.extend([_nan_for(vals)] * filler_n)
+        for name, arr in cols.items():
+            if name not in self._cache:
+                self._cache[name] = ([_nan_scalar(arr.dtype)] * base
+                                     + list(arr[start:]))
+        self.step = int(steps[-1])
+        return self
+
     def flush(self, every_s: float = 0, keep_last_row: bool = False):
         """Write cached rows to disk. With `keep_last_row`, the most recent
         step's row stays in cache (it may still receive metrics)."""

@@ -29,10 +29,12 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .packing import Packer
 
-__all__ = ("SegVec", "SegPacker", "vsum", "vdot", "vclip", "vwhere")
+__all__ = ("SegVec", "SegPacker", "HybridPacker", "vsum", "vdot", "vclip",
+           "vwhere")
 
 
 @jax.tree_util.register_pytree_node_class
@@ -183,3 +185,98 @@ class SegPacker(Packer):
     def expand(self, leaf_scalars: jnp.ndarray) -> SegVec:
         "leaf-constant vector: one () scalar per leaf (broadcasts in ops)"
         return SegVec(leaf_scalars[i] for i in range(self.n_leaves))
+
+
+class HybridPacker(SegPacker):
+    """Grouped-segment chain state: conv kernels (ndim >= `native_ndim`)
+    stay native leaves — no flat<->conv relayout, the segmented win — while
+    all SMALL leaves (BN scale/bias, biases, the dense head) are
+    concatenated into ONE flat segment, so their updates are one fused
+    kernel + one PRNG stream instead of dozens of tiny ones — the flat
+    win. Motivation (PERF.md r4): at K=1 the fully-segmented layout is
+    ~10% slower than flat purely from per-leaf kernel/PRNG overhead, while
+    flat pays a ~1 ms/step conv-relayout tax at K>=2; the hybrid removes
+    both costs. The packed representation is still a `SegVec`
+    ([native conv leaves..., small_flat]) so the kernels' arithmetic and
+    the runners' checkpoint/vmap machinery are unchanged."""
+
+    def __init__(self, tree, native_ndim: int = 3):
+        super().__init__(tree)
+        self.native_ndim = int(native_ndim)
+        self.native_idx = [i for i, s in enumerate(self.shapes)
+                          if len(s) >= self.native_ndim]
+        self.small_idx = [i for i in range(self.n_leaves)
+                          if i not in set(self.native_idx)]
+        small_sizes = [self.sizes[i] for i in self.small_idx]
+        self.small_offsets = np.concatenate(
+            [[0], np.cumsum(small_sizes)]).astype(np.int64)
+        self._small_seg_ids = jnp.asarray(np.repeat(
+            np.arange(len(self.small_idx), dtype=np.int32), small_sizes))
+        self.n_segments = len(self.native_idx) + (1 if self.small_idx else 0)
+
+    # -- pack/unpack --------------------------------------------------------
+    def pack(self, tree) -> SegVec:
+        if isinstance(tree, SegVec):
+            return tree
+        leaves = jax.tree_util.tree_leaves(tree)
+        parts = [leaves[i] for i in self.native_idx]
+        if self.small_idx:
+            parts.append(jnp.concatenate(
+                [jnp.ravel(leaves[i]) for i in self.small_idx]))
+        return SegVec(parts)
+
+    def unpack(self, vec) -> Any:
+        parts = vec.leaves if isinstance(vec, SegVec) else \
+            tuple(jax.tree_util.tree_leaves(vec))
+        out = [None] * self.n_leaves
+        for j, i in enumerate(self.native_idx):
+            out[i] = jnp.reshape(parts[j], self.shapes[i])
+        if self.small_idx:
+            flat = parts[len(self.native_idx)]
+            for k, i in enumerate(self.small_idx):
+                seg = flat[int(self.small_offsets[k]):
+                           int(self.small_offsets[k + 1])]
+                out[i] = jnp.reshape(seg, self.shapes[i])
+        return jax.tree_util.tree_unflatten(self.treedef, out)
+
+    # -- noise: one stream per SEGMENT (n_native + 1, not n_leaves) ---------
+    def normal_like(self, key, like: SegVec) -> SegVec:
+        return SegVec(
+            jax.random.normal(jax.random.fold_in(key, i), l.shape, l.dtype)
+            for i, l in enumerate(like.leaves))
+
+    # -- per-ORIGINAL-leaf reductions (diagnostics stay leaf-granular) ------
+    def segment_sum(self, vec: SegVec) -> jnp.ndarray:
+        parts = vec.leaves
+        out = [None] * self.n_leaves
+        for j, i in enumerate(self.native_idx):
+            out[i] = jnp.sum(parts[j])
+        if self.small_idx:
+            flat = parts[len(self.native_idx)]
+            ss = jax.ops.segment_sum(flat, self._small_seg_ids,
+                                     num_segments=len(self.small_idx))
+            for k, i in enumerate(self.small_idx):
+                out[i] = ss[k]
+        return jnp.stack(out)
+
+    def leaf_firsts(self, vec: SegVec) -> jnp.ndarray:
+        parts = vec.leaves
+        out = [None] * self.n_leaves
+        for j, i in enumerate(self.native_idx):
+            out[i] = jnp.ravel(parts[j])[0]
+        if self.small_idx:
+            flat = parts[len(self.native_idx)]
+            firsts = flat[jnp.asarray(self.small_offsets[:-1])]
+            for k, i in enumerate(self.small_idx):
+                out[i] = firsts[k]
+        return jnp.stack(out)
+
+    def expand(self, leaf_scalars: jnp.ndarray) -> SegVec:
+        """(n_leaves,) per-ORIGINAL-leaf scalars -> hybrid rep: () scalars
+        for native leaves (broadcast in ops), a segment-expanded vector
+        for the flat small segment."""
+        parts = [leaf_scalars[i] for i in self.native_idx]
+        if self.small_idx:
+            small = leaf_scalars[jnp.asarray(self.small_idx)]
+            parts.append(small[self._small_seg_ids])
+        return SegVec(parts)

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from .packing import Packer
-from .segmented import SegPacker, vsum, vwhere
+from .segmented import HybridPacker, SegPacker, vsum, vwhere
 
 
 class SGLDState(NamedTuple):
@@ -51,7 +51,7 @@ class SGLD:
                  use_pallas: Optional[bool] = None,
                  pallas_interpret: bool = False, packing: str = "flat"):
         assert num_data >= 0 and momentum >= 0
-        assert packing in ("flat", "segmented")
+        assert packing in ("flat", "segmented", "hybrid")
         self.num_data = float(num_data)
         self.momentum = float(momentum)
         self.rmsprop_alpha = float(rmsprop_alpha)
@@ -88,7 +88,8 @@ class SGLD:
     # -- packing ----------------------------------------------------------
     def _ensure_packer(self, params_tree):
         if self.packer is None:
-            cls = SegPacker if self.packing == "segmented" else Packer
+            cls = {"flat": Packer, "segmented": SegPacker,
+                   "hybrid": HybridPacker}[self.packing]
             self.packer = cls(params_tree)
         return self.packer
 

@@ -69,7 +69,7 @@ class MultiChainRunner:
                  init_params_fn=None, compute_dtype=None,
                  metrics_savers=None, metrics_skip=1, test_data=None,
                  eval_batch_size=None, packing="segmented",
-                 chain_group_size=None):
+                 chain_group_size=None, eval_skip=1, pipeline=True):
         self.model = model
         # chain-state representation; 'segmented' removes the per-step
         # flat-vector<->conv-layout relayouts (PERF.md "The flat-pack tax")
@@ -118,9 +118,9 @@ class MultiChainRunner:
             # the initial refresh — the single-chain boundary cadence).
             assert bool(jnp.all(temps == 1.0)), \
                 "HMC kernel requires temperature=1 for every chain"
-            assert momentum == 1.0, "HMC only works with momentum=1"
             assert self.descent_epochs == 0, \
                 "HMC not implemented for descent (T=0) epochs"
+            # `momentum` is ignored: the HMC kernel forces momentum=1
             self.kernel = mcmc.HMC(num_data=self.eff_num_data,
                                    packing=self.packing)
         else:
@@ -194,6 +194,16 @@ class MultiChainRunner:
         self._samples = []
         self._epoch_fn = None
         self.nan_chains: set = set()
+        # eval cadence: test eval every `eval_skip` epochs (+ always the
+        # final epoch); 0/None disables. The reference evaluates every
+        # epoch (inference.py:199-213) = eval_skip=1, the default.
+        self.eval_skip = 0 if eval_skip is None else int(eval_skip)
+        # one-epoch-deep dispatch pipeline (see run()); False = strictly
+        # synchronous per-epoch host work, for debugging
+        self.pipeline = bool(pipeline)
+        self._snap_fn = None
+        self._snap_unpack_fn = None
+        self._temps_cache = None
         self._warn_chain_regime()
 
     def _warn_chain_regime(self):
@@ -435,62 +445,150 @@ class MultiChainRunner:
         if progressbar:
             import tqdm
             it = tqdm.tqdm(it, desc="epochs")
+        pending = None
         for e in it:
             cycle, epoch = divmod(e, self.epochs_per_cycle)
-            temps = jnp.where(epoch < self.descent_epochs,
-                              jnp.zeros_like(self.temperatures),
-                              self.temperatures)
+            temps = self._temps_for(epoch)
             idxs = self._epoch_idxs(cycle, epoch)
             t0 = time.perf_counter()
             self.states, self.model_states, ms = self._epoch_fn(
                 self.states, self.model_states, idxs,
                 jnp.asarray(step), temps, self.train_x, self.train_y)
-            # the host fetch forces epoch completion, so epoch_s is real
-            # device time even on transports whose block_until_ready
-            # returns early (see bench.py timing note)
-            ms_host, sel = self._fetch_epoch_metrics(ms, step)
-            epoch_s = time.perf_counter() - t0
             step0 = step
             step += self.n_full
-            metrics_hist.append(self._epoch_end_entry(ms_host))
-            self._check_finite(metrics_hist[-1]["potential"])
-            self._stream_step_metrics(step0, ms_host, temps, sel)
-            self._eval_epoch(step, metrics_hist[-1])
-            self._stream_timings(step, epoch_s)
+            # dispatch everything that reads this epoch's device state
+            # BEFORE mutating/donating it below
+            rec = self._dispatch_epoch_tail(e, epoch, step0, step, ms,
+                                            temps, t0)
             if (self.precond_update is not None
                     and epoch % self.precond_update == 0):
                 self.states = jax.vmap(self.kernel.update_preconditioner)(
                     self.states)
-            if self._is_sampling_epoch(epoch):
-                if self.model_savers is not None:
-                    self._stream_sample(step)
-                else:
-                    self._samples.append(
-                        (self._host(self.states.position),
-                         self._host(dict(self.model_states)), step))
-                if isinstance(self.kernel, mcmc.HMC):
-                    # OurHMC: trajectory boundary after each sampling epoch
-                    # — full momentum resample (no M-H; the single-chain
-                    # HMCRunner refreshes at the same boundaries,
-                    # runner.py:611,638)
-                    self.states = self._sample_momentum_all()
+            if (isinstance(self.kernel, mcmc.HMC)
+                    and self._is_sampling_epoch(epoch)):
+                # OurHMC: trajectory boundary after each sampling epoch —
+                # full momentum resample (no M-H; the single-chain
+                # HMCRunner refreshes at the same boundaries,
+                # runner.py:611,638)
+                self.states = self._sample_momentum_all()
+            pending = self._advance_pipeline(metrics_hist, pending, rec)
             if (checkpoint_path is not None and checkpoint_every is not None
                     and (e + 1) % checkpoint_every == 0):
+                if pending is not None:
+                    metrics_hist.append(self._drain_epoch(pending))
+                    pending = None
                 self.save_checkpoint(checkpoint_path, e + 1, step)
+        if pending is not None:
+            metrics_hist.append(self._drain_epoch(pending))
         self._flush_metrics()
         return metrics_hist
 
-    # -- metric/eval streaming ---------------------------------------------
-    def _fetch_epoch_metrics(self, ms, step0):
-        """Device->host fetch of ONLY the metric rows that will be used:
+    # -- pipelined epoch tail / drain --------------------------------------
+    def _advance_pipeline(self, metrics_hist, pending, rec):
+        """One-epoch-deep pipeline: the previous epoch's host work (HDF5
+        writes, sample streaming, eval fetch) runs AFTER this epoch's
+        device work is dispatched, so it overlaps device compute instead
+        of idling the chip (the measured ~0.85 s/epoch production tax,
+        PERF.md r4). `pipeline=False` drains immediately."""
+        if pending is not None:
+            metrics_hist.append(self._drain_epoch(pending))
+        if self.pipeline:
+            return rec
+        metrics_hist.append(self._drain_epoch(rec))
+        return None
+
+    def _temps_for(self, epoch):
+        "per-chain temperatures for the epoch (0 during descent epochs)"
+        if self._temps_cache is None:
+            self._temps_cache = (
+                (jnp.zeros_like(self.temperatures),
+                 np.zeros(self.n_chains)),
+                (self.temperatures, np.asarray(self.temperatures)))
+        return self._temps_cache[int(epoch >= self.descent_epochs)][0]
+
+    def _temps_np(self, epoch):
+        return self._temps_cache[int(epoch >= self.descent_epochs)][1]
+
+    def _eval_due(self, e, epoch):
+        if self.test_x is None or self.eval_skip <= 0:
+            return False
+        total = self.cycles * self.epochs_per_cycle
+        return ((e + 1) % self.eval_skip == 0) or (e == total - 1)
+
+    def _dispatch_epoch_tail(self, e, epoch, step0, step, ms, temps, t0,
+                             include_sample=True):
+        """Dispatch (no host sync) all device work that reads the
+        just-finished epoch's state: metric-row gather, per-leaf
+        preconditioner values, the test evaluation, and a device-side
+        staging copy of the sample (the next epoch's buffer donation
+        invalidates the live arrays before the pipelined drain fetches
+        them). Returns the drain record."""
+        ms_sel, sel = self._select_epoch_metrics(ms, step0)
+        fetch = {"ms": ms_sel}
+        if self.metrics_savers is not None:
+            fetch["precond"] = jax.vmap(self.kernel.leaf_precond)(self.states)
+        if self._eval_due(e, epoch):
+            if self._eval_fn is None:
+                self._eval_fn = self._build_eval_fn()
+            fetch["eval"] = self._eval_fn(self.states.position,
+                                          self.model_states,
+                                          *self._eval_batches)
+        rec = {"epoch": epoch, "step0": step0, "step": step,
+               "temps": self._temps_np(epoch), "t0": t0, "sel": sel,
+               "fetch": fetch}
+        if include_sample and self._is_sampling_epoch(epoch):
+            rec["sample"] = self._snapshot_sample()
+        self._start_host_copies(rec)
+        return rec
+
+    def _start_host_copies(self, rec):
+        "kick off async device->host transfers for everything drain reads"
+        for leaf in jax.tree_util.tree_leaves(
+                (rec["fetch"], rec.get("sample"))):
+            start = getattr(leaf, "copy_to_host_async", None)
+            if start is not None:
+                try:
+                    start()
+                except Exception:  # transport may not support it
+                    pass
+
+    def _drain_epoch(self, rec):
+        """Host work for a completed epoch: fetch the (already finished)
+        device results, write metrics/eval/samples, return the epoch-end
+        entry. The first fetch forces epoch completion, so epoch_s is real
+        device wall time even on transports whose block_until_ready
+        returns early (bench.py timing note)."""
+        host = self._host(rec["fetch"])
+        epoch_s = time.perf_counter() - rec["t0"]
+        ms_host = host["ms"]
+        entry = self._epoch_end_entry(ms_host)
+        self._check_finite(entry["potential"])
+        self._stream_step_metrics(rec["step0"], ms_host, rec["temps"],
+                                  rec["sel"], precond=host.get("precond"))
+        if "eval" in host:
+            lp, acc = (np.asarray(v) for v in host["eval"])
+            entry["test/acc"] = acc
+            entry["test/loss"] = -lp
+            self._stream_eval(rec["step"], lp, acc)
+        self._drain_boundary(rec, host, entry)
+        if "sample" in rec:
+            self._store_sample(rec["sample"], rec["step"])
+        self._stream_timings(rec["step"], epoch_s)
+        return entry
+
+    def _drain_boundary(self, rec, host, entry):
+        "hook: the Reject runner streams its M-H boundary row here"
+
+    def _select_epoch_metrics(self, ms, step0):
+        """Device-side gather of ONLY the metric rows that will be used:
         the rows `_stream_step_metrics` logs (metrics_skip cadence) plus
         the epoch's last row (epoch-end diagnostics). With no metrics
         savers just the last row crosses the wire — the full per-step
         tensor is (n_batches, K, n_leaves)-sized and a remote transport
-        pays for every byte. Returns (ms_host, sel_indices)."""
+        pays for every byte. Returns (ms_sel_device, sel_indices)."""
         n = self.n_full
         if self.metrics_savers is not None and self.metrics_skip <= 1:
-            return self._host(ms), None  # every row is logged anyway
+            return ms, None  # every row is logged anyway
         if self.metrics_savers is None:
             keep = [n - 1]
         else:
@@ -501,7 +599,7 @@ class MultiChainRunner:
         sel = np.asarray(keep, dtype=np.int32)
         idx = jnp.asarray(sel)
         ms_sel = jax.tree_util.tree_map(lambda a: a[idx], ms)
-        return self._host(ms_sel), sel
+        return ms_sel, sel
 
     def _epoch_end_entry(self, ms_host):
         """last-step diagnostics per chain, with per-leaf est_* vectors
@@ -514,48 +612,61 @@ class MultiChainRunner:
                 entry[k] = (entry[k] * w).sum(-1) / w.sum()
         return entry
 
-    def _stream_step_metrics(self, step0, ms_host, temps, sel=None):
+    def _stream_step_metrics(self, step0, ms_host, temps, sel=None,
+                             precond=None):
         """Write the per-step per-chain reference metric series
         (inference.py:262-294 cadence: step t's metrics under index t-1,
         every `metrics_skip` steps but always the epoch's first).
         `sel` maps fetched rows to their in-epoch indices when only a
-        subset was brought to the host (_fetch_epoch_metrics)."""
+        subset was brought to the host (_select_epoch_metrics).
+        Vectorized: one `HDF5Metrics.add_rows` block per chain per epoch
+        (column slices of the fetched arrays) instead of tens of
+        thousands of per-scalar Python calls (VERDICT r4 item 1)."""
         if self.metrics_savers is None:
             return
         names = self.kernel.packer.names
         sizes = np.asarray(self.kernel.packer.sizes, dtype=np.float64)
-        precond = np.asarray(self._host(
-            jax.vmap(self.kernel.leaf_precond)(self.states)))
+        if precond is None:
+            precond = self._host(
+                jax.vmap(self.kernel.leaf_precond)(self.states))
+        precond = np.asarray(precond)
         est_t = np.asarray(ms_host["est_temperature"])  # (n, K, L)
         est_c = np.asarray(ms_host["est_config_temp"])
         scalars = {k: np.asarray(ms_host[k])
                    for k in ("loss", "acc", "log_prior", "potential", "lr")
                    if k in ms_host}
         temps = np.asarray(temps)
-        rows = (range(est_t.shape[0]) if sel is None else sel)
+        rows = (np.arange(est_t.shape[0], dtype=np.int64) if sel is None
+                else np.asarray(sel, dtype=np.int64))
+        s_abs = step0 + rows
+        r_idx = np.flatnonzero((s_abs % self.metrics_skip == 0) | (rows == 0))
+        if r_idx.size == 0:
+            return
+        li = s_abs[r_idx] - 1
+        wsum = sizes.sum()
+        n_rows = r_idx.size
         for c in self.local_chains:
             sv = self.metrics_savers[c]
             if sv is None:
                 continue
-            add = sv.add_scalar
-            for r, i in enumerate(rows):
-                # i = in-epoch step offset, r = row index in the fetched
-                # (possibly subsampled) arrays
-                s = step0 + int(i)
-                if (s % self.metrics_skip != 0) and i != 0:
-                    continue
-                li = s - 1
-                for j, nm in enumerate(names):
-                    add("preconditioner/" + nm, float(precond[c, j]), li)
-                    add("est_temperature/" + nm, float(est_t[r, c, j]), li)
-                    add("est_config_temp/" + nm, float(est_c[r, c, j]), li)
-                add("est_temperature/all",
-                    float((est_t[r, c] * sizes).sum() / sizes.sum()), li)
-                add("est_config_temp/all",
-                    float((est_c[r, c] * sizes).sum() / sizes.sum()), li)
-                add("temperature", float(temps[c]), li)
-                for k, v in scalars.items():
-                    add(k, float(v[r, c]), li)
+            et, ec = est_t[r_idx, c, :], est_c[r_idx, c, :]
+            cols = {}
+            for j, nm in enumerate(names):
+                cols["preconditioner/" + nm] = np.full(n_rows, precond[c, j])
+                cols["est_temperature/" + nm] = et[:, j]
+                cols["est_config_temp/" + nm] = ec[:, j]
+            cols["est_temperature/all"] = et @ sizes / wsum
+            cols["est_config_temp/all"] = ec @ sizes / wsum
+            cols["temperature"] = np.full(n_rows, temps[c])
+            for k, v in scalars.items():
+                cols[k] = v[r_idx, c]
+            add_rows = getattr(sv, "add_rows", None)
+            if add_rows is not None:
+                add_rows(cols, li)
+            else:  # duck-typed savers without the batch API
+                for r in range(n_rows):
+                    for k, v in cols.items():
+                        sv.add_scalar(k, float(v[r]), int(li[r]))
 
     def _stream_timings(self, step, epoch_s):
         if self.metrics_savers is None:
@@ -579,19 +690,10 @@ class MultiChainRunner:
             if self.metrics_savers[c] is not None:
                 self.metrics_savers[c].flush()
 
-    def _eval_epoch(self, step, entry):
-        """per-epoch per-chain test evaluation (reference
-        inference.py:199-213): adds test/acc + test/loss (K,) to the
-        epoch's metrics entry and streams them per chain."""
-        if self.test_x is None:
-            return
-        if self._eval_fn is None:
-            self._eval_fn = self._build_eval_fn()
-        lp, acc = self._eval_fn(self.states.position, self.model_states,
-                                *self._eval_batches)
-        lp, acc = np.asarray(self._host(lp)), np.asarray(self._host(acc))
-        entry["test/acc"] = acc
-        entry["test/loss"] = -lp
+    def _stream_eval(self, step, lp, acc):
+        """stream per-chain test/acc + test/loss rows (reference
+        inference.py:199-213 cadence; the eval itself is dispatched in the
+        epoch tail and fetched in the drain)"""
         if self.metrics_savers is None:
             return
         for c in self.local_chains:
@@ -655,22 +757,50 @@ class MultiChainRunner:
                 warnings.warn(f"chain {c}: potential is NaN/inf "
                               "(diverged; its samples will be unusable)")
 
-    def _position_rows(self):
-        "{chain: packed position row} for this process's chains"
-        pos = self.states.position
-        if isinstance(pos, SegVec):
-            per_leaf = [local_chain_rows(l) for l in pos.leaves]
-            return {c: SegVec(lr[c] for lr in per_leaf)
-                    for c in per_leaf[0]}
-        return {c: jnp.asarray(r)
-                for c, r in local_chain_rows(pos).items()}
+    def _snapshot_sample(self):
+        """Stage this epoch's sample into fresh device buffers (an HBM-rate
+        copy): the next epoch's donation invalidates the live state before
+        the pipelined drain reads it. For streaming savers the snapshot is
+        the vmapped `unpack` itself — per-parameter (K, ...) arrays whose
+        host fetch is one transfer per parameter, sliced per chain in
+        numpy (instead of K×L device-side row gathers)."""
+        if self.model_savers is not None:
+            if self._snap_unpack_fn is None:
+                kernel = self.kernel
+                self._snap_unpack_fn = jax.jit(lambda pos, ms: (
+                    jax.vmap(kernel.unpack)(pos), dict(ms)))
+            params, ms = self._snap_unpack_fn(self.states.position,
+                                              dict(self.model_states))
+            return ("unpacked", params, ms)
+        if self._snap_fn is None:
+            def copy_leaf(a):
+                if a.dtype == jnp.bool_:
+                    return jnp.logical_not(jnp.logical_not(a))
+                return a + jnp.zeros((), a.dtype)
+            self._snap_fn = jax.jit(
+                lambda t: jax.tree_util.tree_map(copy_leaf, t))
+        pos, ms = self._snap_fn((self.states.position,
+                                 dict(self.model_states)))
+        return ("packed", pos, ms)
 
-    def _stream_sample(self, step):
-        # rank-aware: each process writes ONLY its local chains' banks
-        # (no cross-host sample traffic; the multi-host scale-out story)
-        pos_rows = self._position_rows()
-        ms_rows = {k: local_chain_rows(v)
-                   for k, v in self.model_states.items()}
+    def _store_sample(self, sample, step):
+        kind, position, model_states = sample
+        if kind == "packed":  # in-memory bank keeps packed positions
+            self._samples.append((self._host(position),
+                                  self._host(dict(model_states)), step))
+            return
+        sd_all = {**position, **model_states}  # {name: (K, ...)} on device
+        if self._multiprocess:
+            # rank-aware: each process writes ONLY its local chains' banks
+            # (no cross-host sample traffic; the multi-host scale-out
+            # story)
+            rows = {k: local_chain_rows(v) for k, v in sd_all.items()}
+            host_rows = {c: {k: r[c] for k, r in rows.items()}
+                         for c in self.local_chains}
+        else:
+            host = {k: np.asarray(v) for k, v in sd_all.items()}
+            host_rows = {c: {k: v[c] for k, v in host.items()}
+                         for c in self.local_chains}
         for c in self.local_chains:
             saver = self.model_savers[c]
             if saver is None or c in self.nan_chains:
@@ -678,10 +808,7 @@ class MultiChainRunner:
                 # in the on-disk bank where post-hoc eval would silently
                 # ensemble NaNs
                 continue
-            params = self.kernel.unpack(pos_rows[c])
-            sd = {k: np.asarray(v) for k, v in params.items()}
-            sd.update({k: rows[c] for k, rows in ms_rows.items()})
-            saver.add_state_dict(sd, step=step)
+            saver.add_state_dict(host_rows[c], step=step)
 
     def _sample_momentum_all(self):
         "per-chain momentum refresh at the chain's own temperature"
@@ -930,25 +1057,22 @@ class MultiChainRunnerReject(MultiChainRunner):
         if progressbar:
             import tqdm
             it = tqdm.tqdm(it, desc="epochs")
+        pending = None
         for e in it:
             cycle, epoch = divmod(e, self.epochs_per_cycle)
-            temps = jnp.where(epoch < self.descent_epochs,
-                              jnp.zeros_like(self.temperatures),
-                              self.temperatures)
+            temps = self._temps_for(epoch)
             idxs = self._epoch_idxs(cycle, epoch)
             t0 = time.perf_counter()
             self.states, self.model_states, ms = self._epoch_fn(
                 self.states, self.model_states, idxs,
                 jnp.asarray(step), temps, self.train_x, self.train_y)
-            ms_host, sel = self._fetch_epoch_metrics(ms, step)
-            epoch_s = time.perf_counter() - t0
             step0 = step
             step += self.n_full
-            metrics_hist.append(self._epoch_end_entry(ms_host))
-            self._check_finite(metrics_hist[-1]["potential"])
-            self._stream_step_metrics(step0, ms_host, temps, sel)
-            self._eval_epoch(step, metrics_hist[-1])
-            self._stream_timings(step, epoch_s)
+            # tail reads the PRE-boundary state (eval/precond values match
+            # the reference's per-epoch cadence); the sample is staged
+            # post-boundary below
+            rec = self._dispatch_epoch_tail(e, epoch, step0, step, ms,
+                                            temps, t0, include_sample=False)
             precond_due = (self.precond_update is not None
                            and (epoch + 1) % self.precond_update == 0)
             if self._is_sampling_epoch(epoch):
@@ -957,21 +1081,11 @@ class MultiChainRunnerReject(MultiChainRunner):
                     self.states, self.model_states,
                     jnp.asarray(step - 1), temps, self._initial_pots,
                     self.train_x, self.train_y)
-                self.delta_energies.append(np.asarray(self._host(de)))
-                self.rejections.append(np.asarray(self._host(rejected)))
-                self.boundary_metrics.append(jax.tree_util.tree_map(
-                    np.asarray, self._host(bm)))
-                self._stream_boundary(step, self.boundary_metrics[-1],
-                                      self.delta_energies[-1],
-                                      self.rejections[-1])
+                rec["fetch"]["boundary"] = (bm, de, rejected)
                 # sample AFTER maybe_reject: stored samples are already
                 # correctly rolled back (inference_reject.py:140-146)
-                if self.model_savers is not None:
-                    self._stream_sample(step)
-                else:
-                    self._samples.append(
-                        (self._host(self.states.position),
-                         self._host(dict(self.model_states)), step))
+                rec["sample"] = self._snapshot_sample()
+                self._start_host_copies(rec)
                 # When rejecting, preconditioner updates apply only
                 # BETWEEN segments (after maybe_reject, before
                 # initial_step) so M stays constant within every M-H
@@ -995,11 +1109,29 @@ class MultiChainRunnerReject(MultiChainRunner):
                 else:
                     self.states = jax.vmap(
                         self.kernel.update_preconditioner)(self.states)
+            pending = self._advance_pipeline(metrics_hist, pending, rec)
             if (checkpoint_path is not None and checkpoint_every is not None
                     and (e + 1) % checkpoint_every == 0):
+                if pending is not None:
+                    metrics_hist.append(self._drain_epoch(pending))
+                    pending = None
                 self.save_checkpoint(checkpoint_path, e + 1, step)
+        if pending is not None:
+            metrics_hist.append(self._drain_epoch(pending))
         self._flush_metrics()
         return metrics_hist
+
+    def _drain_boundary(self, rec, host, entry):
+        if "boundary" not in host:
+            return
+        bm, de, rejected = host["boundary"]
+        de = np.asarray(de)
+        rejected = np.asarray(rejected)
+        bm = jax.tree_util.tree_map(np.asarray, bm)
+        self.delta_energies.append(de)
+        self.rejections.append(rejected)
+        self.boundary_metrics.append(bm)
+        self._stream_boundary(rec["step"], bm, de, rejected)
 
     def _stream_boundary(self, step, bm, de, rejected):
         """Stream the M-H boundary row per chain: exact full-data metrics

@@ -1,7 +1,8 @@
 """Quick A/B probe for model-code changes on the K=8 bf16 ResNet-20
 GGMC step (the bench.py headline program, 100-step scans for fast
 compiles). Prints aggregate steps/s/chip with the fetch-differencing
-clock. Usage: python experiments/perf/step_probe.py [K] [n_steps]
+clock. Usage: python experiments/perf/step_probe.py [K] [n_steps] [packing]
+(packing: flat | segmented | hybrid; default segmented)
 """
 import json
 import sys
@@ -14,6 +15,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1].parent))
 def main():
     K = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    packing = sys.argv[3] if len(sys.argv) > 3 else "segmented"
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir",
@@ -24,7 +26,7 @@ def main():
 
     model = models.ResNet(depth=20, softmax_temp=1.0)
     kernel = mcmc.VerletSGLD(num_data=50000, momentum=0.994,
-                             packing="segmented")
+                             packing=packing)
     run, s, m = bench.build_run(K, model, kernel, n_steps,
                                 compute_dtype=(jnp.bfloat16 if K > 1
                                                else None))
@@ -44,7 +46,7 @@ def main():
         t3, s, m = chain_of(3, s, m)
         best = min(best, (t3 - t1) / 2)
     print(json.dumps({
-        "metric": f"step_probe_K{K}_aggregate_steps_per_s",
+        "metric": f"step_probe_K{K}_{packing}_aggregate_steps_per_s",
         "value": round(K * n_steps / best, 2), "unit": "steps/s/chip",
         "ms_per_vmapped_step": round(best / n_steps * 1e3, 3)}),
         flush=True)

@@ -48,6 +48,8 @@ DEFAULTS = dict(
     skip=1,
     skip_first=50,
     metrics_skip=10,   # per-chain step-granular metrics cadence
+    eval_skip=1,       # test-eval every N epochs (0 = off; final epoch always)
+    pipeline=True,     # one-epoch-deep dispatch pipeline (False = sync debug)
     lr=0.01,
     momentum=0.994,
     precond_update=1,
@@ -177,6 +179,7 @@ def main(cfg):
             metrics_savers=msavers, metrics_skip=cfg["metrics_skip"],
             test_data=(x_test, y_test),
             chain_group_size=cfg["chain_group_size"],
+            eval_skip=cfg["eval_skip"], pipeline=cfg["pipeline"],
             compute_dtype=cfg.get("compute_dtype"))
         ckpt = (str(Path(cfg["log_dir"]) / "sweep_checkpoint.npz")
                 if cfg["checkpoint_every"] else None)

@@ -40,6 +40,8 @@ DEFAULTS = dict(
     warmup=45,                     # warmup epochs per cycle
     skip=1,                        # sample thinning
     metrics_skip=10,
+    eval_skip=1,       # test-eval every N epochs (0 = off; final epoch always)
+    pipeline=True,     # one-epoch-deep dispatch pipeline (False = sync debug)
     skip_first=50,                 # samples discarded at evaluation
     temperature=1.0,
     sampling_decay="cosine",
@@ -361,6 +363,7 @@ def _run_multichain(cfg, run, data, model, loaded_params, model_state,
             metrics_savers=msavers, metrics_skip=cfg["metrics_skip"],
             test_data=(x_test, jnp.asarray(y_test)),
             chain_group_size=cfg["chain_group_size"],
+            eval_skip=cfg["eval_skip"], pipeline=cfg["pipeline"],
             compute_dtype=cfg["compute_dtype"], **extra)
         ckpt = (run.artifact("chains.ckpt.npz")
                 if cfg["checkpoint_every"] else None)

@@ -148,3 +148,55 @@ def test_hdf5_roundtrip(tmp_path):
                           if isinstance(f["potential"], h5py.Group)
                           else f["potential"])
         assert np.isfinite(vals).any()
+
+
+def test_pipeline_equivalence(tmp_path):
+    """The one-epoch-deep dispatch pipeline (VERDICT r4 item 1) is pure
+    reordering of host work: metrics.h5 and the sample banks must be
+    IDENTICAL to the synchronous (pipeline=False) run."""
+    import h5py
+
+    from bnn_priors_tpu.io import HDF5Metrics, HDF5ModelSaver
+    from bnn_priors_tpu.parallel import MultiChainRunnerReject
+
+    kx, ky = jax.random.split(jax.random.key(0))
+    x = jax.random.normal(kx, (48, 4))
+    y = (jax.random.normal(ky, (48,)) > 0).astype(jnp.int32)
+    model = models.LogisticRegression(4, 2)
+
+    def run(pipeline, d):
+        d.mkdir()
+        ms = [HDF5Metrics(d / f"m{c}.h5") for c in range(3)]
+        sv = [HDF5ModelSaver(d / f"s{c}.h5") for c in range(3)]
+        r = MultiChainRunnerReject(
+            model, (x, y), n_chains=3, temperatures=[0.1, 1.0, 1.0],
+            kernel="VerletSGLD", learning_rate=1e-3, momentum=0.9,
+            batch_size=16, cycles=2, epochs_per_cycle=3, warmup_epochs=2,
+            sample_epochs=1, key=jax.random.key(3), dtype=jnp.float64,
+            metrics_savers=ms, metrics_skip=2, model_savers=sv,
+            test_data=(x, y), pipeline=pipeline)
+        hist = r.run()
+        for s in ms + sv:
+            s.close()
+        return hist
+
+    h_pipe = run(True, tmp_path / "pipe")
+    h_sync = run(False, tmp_path / "sync")
+    assert len(h_pipe) == len(h_sync)
+    for ep, es in zip(h_pipe, h_sync):
+        assert set(ep) == set(es)
+        for k in ep:
+            np.testing.assert_array_equal(np.asarray(ep[k]),
+                                          np.asarray(es[k]), err_msg=k)
+    for c in range(3):
+        for fn in (f"m{c}.h5", f"s{c}.h5"):
+            with h5py.File(tmp_path / "pipe" / fn) as fp, \
+                    h5py.File(tmp_path / "sync" / fn) as fs:
+                kp, ks = set(fp.keys()), set(fs.keys())
+                assert kp == ks, fn
+                for k in kp:
+                    if k == "timestamps":
+                        continue
+                    np.testing.assert_array_equal(
+                        np.asarray(fp[k]), np.asarray(fs[k]),
+                        err_msg=f"{fn}/{k}")

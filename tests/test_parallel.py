@@ -158,5 +158,3 @@ def test_multichain_ourhmc():
 
     with pytest.raises(AssertionError):
         make(temperatures=[1.0, 0.5, 1.0], momentum=1.0)
-    with pytest.raises(AssertionError):
-        make(temperatures=1.0, momentum=0.9)

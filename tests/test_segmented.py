@@ -144,3 +144,111 @@ def test_multichain_segmented_vs_flat_distribution():
     a, b = run("segmented"), run("flat")
     # two-sample KS between the representations' last posterior snapshots
     assert scipy.stats.ks_2samp(a, b).pvalue > 1e-3
+
+
+# -- hybrid representation (VERDICT r4 item 3) ------------------------------
+
+def _conv_setup(packing):
+    kx = jax.random.key(0)
+    x = jax.random.normal(kx, (4, 3 * 8 * 8))  # flat NCHW pixels
+    y = jnp.zeros((4,), jnp.int32)
+    model = models.ClassificationConvNet(3, 8, 10, width=8, depth=3)
+    params, mstate = model.init(jax.random.key(2))
+    kernel = mcmc.VerletSGLD(num_data=4.0, momentum=0.9, packing=packing)
+    state = kernel.init(params, jax.random.key(1), save_state=True)
+    return model, params, mstate, kernel, state, (x, y)
+
+
+def test_hybrid_structure_and_roundtrip():
+    from bnn_priors_tpu.mcmc.segmented import HybridPacker
+    _, params, _, kernel, state, _ = _conv_setup("hybrid")
+    pk = kernel.packer
+    assert isinstance(pk, HybridPacker)
+    assert isinstance(state.position, SegVec)
+    # conv kernels native, everything else in ONE flat segment
+    n_native = len(pk.native_idx)
+    assert n_native >= 1 and pk.small_idx
+    assert len(state.position.leaves) == n_native + 1
+    for j, i in enumerate(pk.native_idx):
+        assert state.position.leaves[j].ndim >= 3
+    rt = kernel.unpack(kernel.pack(params))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b), rt, params)
+
+
+def test_hybrid_reductions_match_flat_packer():
+    "segment_sum / leaf_firsts / expand agree with the flat Packer's"
+    from bnn_priors_tpu.mcmc.packing import Packer
+    _, params, _, kernel, state, _ = _conv_setup("hybrid")
+    pk = kernel.packer
+    flat_pk = Packer(params)
+    v = jax.tree_util.tree_map(
+        lambda a: jnp.arange(a.size, dtype=jnp.float64).reshape(a.shape)
+        * 1e-3, params)
+    np.testing.assert_allclose(
+        np.asarray(pk.segment_sum(pk.pack(v))),
+        np.asarray(flat_pk.segment_sum(flat_pk.pack(v))), rtol=1e-12)
+    np.testing.assert_array_equal(
+        np.asarray(pk.leaf_firsts(pk.pack(v))),
+        np.asarray(flat_pk.leaf_firsts(flat_pk.pack(v))))
+    scalars = jnp.arange(pk.n_leaves, dtype=jnp.float64) + 1.0
+    exp_h = pk.expand(scalars)
+    exp_f = flat_pk.unpack(flat_pk.expand(scalars))
+    # expanding per-leaf scalars then unpacking gives leaf-constant trees
+    got = pk.unpack(exp_h * pk.pack(jax.tree_util.tree_map(
+        jnp.ones_like, params)))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), rtol=1e-12),
+        got, exp_f)
+
+
+@pytest.mark.parametrize("kernel_cls", [mcmc.SGLD, mcmc.VerletSGLD])
+def test_hybrid_deterministic_steps_match_flat(kernel_cls):
+    "T=0 conv-model trajectories: hybrid == flat to float tolerance"
+    mf, pf, msf, kf, sf, (x, y) = _conv_setup("flat")
+    mh, ph, msh, kh, sh, _ = _conv_setup("hybrid")
+    if kernel_cls is mcmc.SGLD:
+        kf = mcmc.SGLD(num_data=4.0, momentum=0.9, packing="flat")
+        sf = kf.init(pf, jax.random.key(1))
+        kh = mcmc.SGLD(num_data=4.0, momentum=0.9, packing="hybrid")
+        sh = kh.init(ph, jax.random.key(1))
+
+    def grad(model, kernel, state, mstate):
+        def f(p):
+            pot, _ = model.potential_avg_fn(
+                mstate, x, y, eff_num_data=4.0, train=False)(p)
+            return pot
+        return vclip(kernel.pack(jax.grad(f)(kernel.unpack(state.position))),
+                     -1e6, 1e6)
+
+    for i in range(3):
+        sf, _ = kf.step(sf, grad(mf, kf, sf, msf), 1e-3, 0.0)
+        sh, _ = kh.step(sh, grad(mh, kh, sh, msh), 1e-3, 0.0)
+        if i == 1:
+            sf = kf.update_preconditioner(sf)
+            sh = kh.update_preconditioner(sh)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-12),
+        kf.unpack(sf.position), kh.unpack(sh.position))
+    np.testing.assert_allclose(np.asarray(kf.leaf_precond(sf)),
+                               np.asarray(kh.leaf_precond(sh)), rtol=1e-6)
+
+
+def test_hybrid_multichain_runs():
+    "MultiChainRunner with packing='hybrid': chains advance, samples finite"
+    from bnn_priors_tpu.parallel import MultiChainRunner
+    kx, ky = jax.random.split(jax.random.key(0))
+    x = jax.random.normal(kx, (32, 3 * 8 * 8))
+    y = (jax.random.normal(ky, (32,)) > 0).astype(jnp.int32)
+    model = models.ClassificationConvNet(3, 8, 2, width=8, depth=3)
+    runner = MultiChainRunner(
+        model, (x, y), n_chains=2, temperatures=1.0, kernel="VerletSGLD",
+        learning_rate=1e-3, momentum=0.9, batch_size=16, cycles=1,
+        epochs_per_cycle=2, warmup_epochs=1, sample_epochs=1,
+        key=jax.random.key(5), dtype=jnp.float64, packing="hybrid")
+    runner.run()
+    bank = runner.get_samples()
+    for k, v in bank.items():
+        assert np.isfinite(v).all(), k
