@@ -5,7 +5,7 @@ around (K vmapped chains per chip; SURVEY §5.7).
 Emits one JSON object per line:
   * single-chain minibatch steps/s/chip (the reference's execution model:
     one chain per accelerator),
-  * aggregate steps/s/chip for K in {4, 8} vmapped chains (batch 128
+  * aggregate steps/s/chip for K in {3, 4, 8} vmapped chains (batch 128
     each) + the implied per-chain efficiency vs K x single-chain,
   * LAST line = the headline: aggregate GGMC steps/s/chip at the best
     measured K per dispatch — the number the TPU-native design argues
@@ -20,9 +20,16 @@ The reference publishes no numbers (BASELINE.md: "we establish it").
 import json
 import time
 
-# First recorded figure on the target chip (TPU v5e, batch 128, f32 GGMC
-# single-chain step incl. gradient); fixed as the self-baseline.
-BASELINE_SELF = 434.09  # steps/s/chip (TPU v5e, 2026-08-17, f32)
+# Round-0 self-baseline, RE-MEASURED under the corrected clock
+# (experiments/perf/rebaseline_r0.py runs the exact r0-commit program
+# with the fetch-differencing clock): median of 5 runs on 2026-08-21 =
+# 948.9 steps/s/chip (samples 1011/949/927/950/942). The originally
+# recorded 434.09 (2026-08-17) was taken with the broken
+# block_until_ready clock over a single 50-step dispatch, i.e. biased
+# DOWN by unamortized per-dispatch transport overhead — see PERF.md
+# "Measurement methodology". vs_baseline therefore now divides
+# correct-clock by correct-clock (VERDICT r4 item 7).
+BASELINE_SELF = 948.9  # steps/s/chip (r0 code, corrected clock)
 
 
 def build_run(K, model, kernel, n_steps, batch_size=128,
@@ -133,13 +140,12 @@ def main():
     model = models.ResNet(depth=20, softmax_temp=1.0)
 
     def make_kernel(K):
-        # measured: the flat packed vector wins single-chain (one fused
-        # update, no relayout pressure at K=1: 945 vs 851 steps/s); the
-        # segmented per-leaf state wins the chain axis (PERF.md "The
-        # flat-pack tax": 1295 vs 849 aggregate at K=4). The runners use
-        # the same regime defaults.
+        # measured r5 (PERF.md packing x K grid): the HYBRID state (conv
+        # kernels native, small leaves in one flat segment) wins EVERY
+        # regime - K=1: 1081 vs flat 940 / segmented 860; K=4: 1334 vs
+        # 1306; K=8: 1177 vs 1166. Default for the runners too.
         return mcmc.VerletSGLD(num_data=50000, momentum=0.994,
-                               packing="flat" if K == 1 else "segmented")
+                               packing="hybrid")
 
     kernel = make_kernel(1)
     run1, s1, m1 = build_run(1, model, kernel, n_steps)
@@ -151,12 +157,12 @@ def main():
 
     # Chain-axis runs use the production mixed-precision path
     # (compute_dtype='bfloat16', train_bnn.py config key) over the
-    # segmented chain state. Measured K-curve (aggregate steps/s/chip,
-    # r4): K=2 1206, K=4 1295, K=6 1224, K=8 1166, K=16 1010 — the sweet
-    # spot is K=4/dispatch; larger banks run faster as sequential K=4
-    # groups.
+    # hybrid chain state. Measured hybrid K-curve (aggregate
+    # steps/s/chip, r5): K=1 1081, K=2 1312, K=3 1362, K=4 1334,
+    # K=6 1247, K=8 1177 — the sweet spot is K=3-4/dispatch; larger
+    # banks run faster as sequential sweet-spot-sized dispatch groups.
     agg = {}
-    for K in (4, 8):
+    for K in (3, 4, 8):
         kernelK = make_kernel(K)
         runK, sK, mK = build_run(K, model, kernelK, n_steps,
                                  compute_dtype=jnp.bfloat16)

@@ -57,7 +57,7 @@ class SGLDRunner:
                  checkpoint_path=None, checkpoint_every=None,
                  profile_dir=None, profile_epoch=1, profile_max_steps=50,
                  matmul_precision=None, compute_dtype=None,
-                 packing="flat"):
+                 packing="hybrid"):
         self.model = model
         self.train_x, self.train_y = train_data
         if test_data is not None:

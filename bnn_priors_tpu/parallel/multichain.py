@@ -51,12 +51,12 @@ class MultiChainRunner:
 
     kernel_init_kwargs: dict = {}  # reject variants add save_state slots
 
-    # Measured on TPU v5e (PERF.md r4 K-curve, segmented state + bf16):
-    # aggregate steps/s/chip peaks at K=4/dispatch (1295; K=2 1206,
-    # K=8 1166, K=16 1010). The warning threshold matches the measured
-    # peak = CHAIN_GROUP_TARGET: anything above it means dispatch
-    # grouping was disabled or could not split the bank, and aggregate
-    # throughput regresses off the peak.
+    # Measured on TPU v5e (PERF.md r5 K-curve, hybrid state + bf16):
+    # aggregate steps/s/chip peaks at K=3-4/dispatch (K=1 1081, K=2 1312,
+    # K=3 1362, K=4 1334, K=6 1247, K=8 1177). The warning threshold
+    # matches the measured peak = CHAIN_GROUP_TARGET: anything above it
+    # means dispatch grouping was disabled or could not split the bank,
+    # and aggregate throughput regresses off the peak.
     MAX_EFFICIENT_CHAINS_PER_DEVICE = 4
 
     def __init__(self, model, train_data, n_chains, temperatures=1.0,
@@ -68,11 +68,13 @@ class MultiChainRunner:
                  dtype=jnp.float32, augment_fn=None, model_savers=None,
                  init_params_fn=None, compute_dtype=None,
                  metrics_savers=None, metrics_skip=1, test_data=None,
-                 eval_batch_size=None, packing="segmented",
+                 eval_batch_size=None, packing="hybrid",
                  chain_group_size=None, eval_skip=1, pipeline=True):
         self.model = model
-        # chain-state representation; 'segmented' removes the per-step
-        # flat-vector<->conv-layout relayouts (PERF.md "The flat-pack tax")
+        # chain-state representation; 'hybrid' (default) keeps conv
+        # kernels native (no flat<->conv relayout) and fuses the small
+        # leaves into one packed segment - measured fastest at every K
+        # (PERF.md r5 packing x K grid)
         self.packing = packing
         # per-device chains per dispatch group (None = auto sweet spot,
         # 0 = one big vmap); see _dispatch_groups
