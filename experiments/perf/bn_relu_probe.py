@@ -11,12 +11,14 @@ shapes and compares XLA's time against the HBM-traffic lower bound:
 
 A VMEM-resident Pallas kernel can hit the minimum by keeping the
 (N,H,W,Cb) channel block on-chip between the reduction and the
-elementwise pass. Achievable saving therefore = 1/3 of fwd + 2/5 of bwd
-time IF XLA is at its own 3/5-sweep bound; if XLA is already below the
-minimum-bound × (sweeps ratio), the kernel cannot win (negative result).
+elementwise pass; the achievable saving is (XLA time) - (bound).
 
-Timing: differenced chained-dispatch clock (block_until_ready does not
-block on this transport — PERF.md "Measurement methodology").
+Timing: each op is iterated ITERS times inside ONE jitted `lax.scan`
+with a carried data dependency (the output feeds the next input), so
+the per-dispatch tunnel overhead — which exceeds the op time itself for
+micro-ops and once produced negative differenced times — amortizes
+away. The scan dispatch itself is then timed with the differenced-
+dispatch clock (PERF.md "Measurement methodology").
 """
 import json
 import sys
@@ -27,32 +29,34 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent.parent))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 K = 4          # chains per dispatch (the measured sweet spot)
 N = 128        # batch
 STAGES = [(32, 32, 16), (16, 16, 32), (8, 8, 64)]
 DTYPE = jnp.bfloat16
 EPS = 1e-5
+ITERS = 200    # op iterations per scan dispatch
 
 
-def timed(fn, args, iters=30):
-    "differenced-dispatch wall clock: (T(2n)-T(n))/n with a forced fetch"
-    out = fn(*args)
-    force = jax.tree_util.tree_leaves(out)[0]
-    float(jnp.sum(force))  # compile + settle
+def timed_scan(scan_fn, x0, repeats=3):
+    """scan_fn: jitted (x0 -> xN, checksum). Differenced chained-dispatch
+    wall per scan iteration."""
+    x, c = scan_fn(x0)
+    float(c)  # compile + settle
 
-    def run(n):
+    def chain_of(R, x):
         t0 = time.perf_counter()
-        o = None
-        for _ in range(n):
-            o = fn(*args)
-        float(jnp.sum(jax.tree_util.tree_leaves(o)[0]))
-        return time.perf_counter() - t0
+        for _ in range(R):
+            x, c = scan_fn(x)
+        float(c)
+        return time.perf_counter() - t0, x
 
-    t1 = run(iters)
-    t2 = run(2 * iters)
-    return (t2 - t1) / iters
+    best = float("inf")
+    for _ in range(repeats):
+        t1, x = chain_of(1, x)
+        t3, x = chain_of(3, x)
+        best = min(best, (t3 - t1) / 2)
+    return best / ITERS
 
 
 def bn_relu(x, w, b):
@@ -68,42 +72,60 @@ def bn_relu(x, w, b):
 
 def main():
     results = {"device": str(jax.devices()[0]), "K": K, "N": N,
-               "dtype": str(DTYPE.__name__), "stages": []}
+               "dtype": str(DTYPE.__name__), "iters": ITERS, "stages": []}
 
-    # reference HBM rate: big bf16 copy (read+write)
-    big = jnp.ones((64 * 1024 * 1024,), DTYPE)  # 128 MB
-    copy = jax.jit(lambda a: a + 1)
-    t_copy = timed(copy, (big,))
-    hbm_gbs = 2 * big.size * big.dtype.itemsize / t_copy / 1e9
+    # reference HBM rate: big bf16 triad a->a+1 scanned with a carry
+    big_shape = (32 * 1024 * 1024,)  # 64 MB bf16
+
+    @jax.jit
+    def copy_scan(a):
+        def body(a, _):
+            return a + 1, ()
+        a, _ = jax.lax.scan(body, a, None, length=ITERS)
+        return a, jnp.sum(a[:8].astype(jnp.float32))
+
+    t_copy = timed_scan(copy_scan, jnp.ones(big_shape, DTYPE))
+    hbm_gbs = (2 * big_shape[0] * jnp.dtype(DTYPE).itemsize) / t_copy / 1e9
     results["hbm_copy_GBs"] = round(hbm_gbs, 1)
-    print(f"HBM copy rate: {hbm_gbs:.0f} GB/s", file=sys.stderr)
+    print(f"HBM copy rate: {hbm_gbs:.0f} GB/s "
+          f"({t_copy * 1e6:.1f} us/iter)", file=sys.stderr)
 
     for (H, W, C) in STAGES:
         shape = (K, N, H, W, C)
-        kx, kd = jax.random.split(jax.random.key(0))
-        x = jax.random.normal(kx, shape, DTYPE)
-        dy = jax.random.normal(kd, shape, DTYPE)
+        x0 = jax.random.normal(jax.random.key(0), shape, DTYPE)
+        dy = jax.random.normal(jax.random.key(1), shape, DTYPE)
         w = jnp.ones((K, C), DTYPE)
-        b = jnp.zeros((K, C), DTYPE)
-
+        b = jnp.full((K, C), 0.01, DTYPE)
         vbn = jax.vmap(bn_relu)
-        fwd = jax.jit(vbn)
 
-        def fwd_bwd(x, w, b, dy):
-            y, vjp = jax.vjp(lambda *a: vbn(*a), x, w, b)
-            return vjp(dy)
-        both = jax.jit(fwd_bwd)
+        @jax.jit
+        def fwd_scan(x):
+            def body(x, _):
+                # output feeds the next input: nothing hoists, every
+                # iteration re-reads/rewrites HBM like the real net
+                return vbn(x, w, b) - 0.001, ()
+            x, _ = jax.lax.scan(body, x, None, length=ITERS)
+            return x, jnp.sum(x[0, 0, 0, 0].astype(jnp.float32))
 
-        t_fwd = timed(fwd, (x, w, b))
-        t_both = timed(both, (x, w, b, dy))
-        t_bwd = t_both - t_fwd  # vjp re-runs fwd inside
+        @jax.jit
+        def both_scan(x):
+            def body(x, _):
+                dx, dw, db = jax.vjp(lambda *a: vbn(*a), x, w, b)[1](dy)
+                return dx - 0.001, ()
+            x, _ = jax.lax.scan(body, x, None, length=ITERS)
+            return x, jnp.sum(x[0, 0, 0, 0].astype(jnp.float32))
 
-        bytes_el = x.size * x.dtype.itemsize
+        t_fwd = timed_scan(fwd_scan, x0)
+        t_both = timed_scan(both_scan, x0)
+        t_bwd = max(t_both - t_fwd, 0.0)  # vjp re-runs fwd inside
+
+        bytes_el = x0.size * x0.dtype.itemsize
         bound_fwd = 2 * bytes_el / (hbm_gbs * 1e9)
         bound_bwd = 3 * bytes_el / (hbm_gbs * 1e9)
         row = {
             "stage": f"{H}x{W}x{C}",
             "xla_fwd_us": round(t_fwd * 1e6, 1),
+            "xla_fwdbwd_us": round(t_both * 1e6, 1),
             "xla_bwd_us": round(t_bwd * 1e6, 1),
             "bound_fwd_us(2 sweeps)": round(bound_fwd * 1e6, 1),
             "bound_bwd_us(3 sweeps)": round(bound_bwd * 1e6, 1),
@@ -116,7 +138,7 @@ def main():
         results["stages"].append(row)
         print(json.dumps(row), file=sys.stderr)
 
-    # per-step totals: ResNet-20 has ~{6,6,7} BN layers per stage + stem
+    # per-step totals: ResNet-20 has ~{7,6,7} BN layers per stage
     per_stage_counts = [7, 6, 7]
     win_us = sum(r["pallas_win_us_if_at_bound"] * c
                  for r, c in zip(results["stages"], per_stage_counts))

@@ -5,7 +5,7 @@ hangs over the remote-device tunnel, see PERF.md) of exactly the
 bench.py K=8 bf16 program, then parses the xplane.pb with xprof into
 (a) the op-profile MXU/HBM rollup and (b) a per-op self-time table.
 
-Usage: python experiments/perf/op_profile.py [K] [n_steps]
+Usage: python experiments/perf/op_profile.py [K] [n_steps] [packing]
 Writes /tmp/xprof_trace/... and prints the top-op table.
 """
 import json
@@ -29,7 +29,7 @@ def main():
 
     model = models.ResNet(depth=20, softmax_temp=1.0)
     kernel = mcmc.VerletSGLD(num_data=50000, momentum=0.994,
-                             packing="segmented")
+                             packing=(sys.argv[3] if len(sys.argv) > 3 else "hybrid"))
     run, s, m = bench.build_run(K, model, kernel, n_steps,
                                 compute_dtype=(jnp.bfloat16 if K > 1
                                                else None))
