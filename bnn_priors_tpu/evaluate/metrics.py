@@ -81,31 +81,40 @@ def _predict_all(model, x, y, samples, batch_size=512, mesh=None):
     xs = xs.reshape((n_batches, B) + x.shape[1:])
     ys = ys.reshape((n_batches, B) + y.shape[1:])
 
-    @jax.jit
-    def run(params_bank, state_bank):
-        def per_sample(_, sample):
-            params, state = sample
+    # ONE jitted predictor per model object, with the test batches as
+    # ARGUMENTS: evaluating many chains' banks (train_bnn's per-chain +
+    # pooled loop) re-traced a fresh closure per call — 9 ResNet-scan
+    # traces per CLI run, the dominant cost of its final-eval phase.
+    # Cached on the model, same-shape calls now hit jit's own cache.
+    run = getattr(model, "_predict_all_jit", None)
+    if run is None:
+        @jax.jit
+        def run(params_bank, state_bank, xs, ys):
+            def per_sample(_, sample):
+                params, state = sample
 
-            def per_batch(_, batch):
-                xb, yb = batch
-                f, _ = model.net_apply(params, state, xb, train=False)
-                if is_classification:
-                    logits = model._logits(f, params)
-                    preds = jax.nn.log_softmax(logits, axis=-1)
-                    lps = jnp.take_along_axis(
-                        preds, yb[:, None], axis=-1)[:, 0]
-                else:
-                    preds = f
-                    lps = model.likelihood_log_prob(params, f, yb)
-                return None, (lps, preds)
-            _, (lps, preds) = jax.lax.scan(per_batch, None, (xs, ys))
-            return None, (lps.reshape(-1), preds.reshape((-1,) + preds.shape[2:]))
-        _, (lps, preds) = jax.lax.scan(per_sample, None,
-                                       (params_bank, state_bank))
-        return lps, preds
+                def per_batch(_, batch):
+                    xb, yb = batch
+                    f, _ = model.net_apply(params, state, xb, train=False)
+                    if is_classification:
+                        logits = model._logits(f, params)
+                        preds = jax.nn.log_softmax(logits, axis=-1)
+                        lps = jnp.take_along_axis(
+                            preds, yb[:, None], axis=-1)[:, 0]
+                    else:
+                        preds = f
+                        lps = model.likelihood_log_prob(params, f, yb)
+                    return None, (lps, preds)
+                _, (lps, preds) = jax.lax.scan(per_batch, None, (xs, ys))
+                return None, (lps.reshape(-1),
+                              preds.reshape((-1,) + preds.shape[2:]))
+            _, (lps, preds) = jax.lax.scan(per_sample, None,
+                                           (params_bank, state_bank))
+            return lps, preds
+        model._predict_all_jit = run
 
     if mesh is None:
-        lps, preds = run(params_bank, state_bank)
+        lps, preds = run(params_bank, state_bank, xs, ys)
     else:
         from jax.sharding import PartitionSpec as P
         axis = mesh.axis_names[0]
@@ -118,9 +127,9 @@ def _predict_all(model, x, y, samples, batch_size=512, mesh=None):
             params_bank = {k: _padE(v) for k, v in params_bank.items()}
             state_bank = {k: _padE(v) for k, v in state_bank.items()}
         sharded = jax.jit(jax.shard_map(
-            run, mesh=mesh, in_specs=(P(axis), P(axis)),
+            run, mesh=mesh, in_specs=(P(axis), P(axis), P(), P()),
             out_specs=P(axis), check_vma=False))
-        lps, preds = sharded(params_bank, state_bank)
+        lps, preds = sharded(params_bank, state_bank, xs, ys)
         if padE:
             lps = lps[:E]
             preds = preds[:E]

@@ -103,3 +103,19 @@ def donating_jit(fn, donate_argnums=(), **jit_kwargs):
         return jf(*_unalias_donated(args, donate_argnums), **kwargs)
     wrapper._jitted = jf  # for tooling (lower/compile inspection)
     return wrapper
+
+
+def enable_persistent_cache(path=None):
+    """Turn on JAX's persistent compilation cache. Compiles through the
+    remote-device tunnel take 15-420 s per program shape; warm reloads
+    are seconds, so every entry point should call this. Default
+    location: $BNN_XLA_CACHE or <repo>/.xla_cache (gitignored)."""
+    if path is None:
+        path = os.environ.get("BNN_XLA_CACHE") or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".xla_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # config may be frozen after backend init
+        pass

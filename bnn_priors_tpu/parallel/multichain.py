@@ -493,6 +493,10 @@ class MultiChainRunner:
         of idling the chip (the measured ~0.85 s/epoch production tax,
         PERF.md r4). `pipeline=False` drains immediately."""
         if pending is not None:
+            # true steady-state wall per epoch = dispatch-to-dispatch delta
+            # (epoch_s measures fetch-forced completion, which on a FIFO
+            # transport includes any already-enqueued next epoch)
+            pending["wall_s"] = rec["t0"] - pending["t0"]
             metrics_hist.append(self._drain_epoch(pending))
         if self.pipeline:
             return rec
@@ -575,7 +579,7 @@ class MultiChainRunner:
         self._drain_boundary(rec, host, entry)
         if "sample" in rec:
             self._store_sample(rec["sample"], rec["step"])
-        self._stream_timings(rec["step"], epoch_s)
+        self._stream_timings(rec["step"], epoch_s, rec.get("wall_s"))
         return entry
 
     def _drain_boundary(self, rec, host, entry):
@@ -670,7 +674,7 @@ class MultiChainRunner:
                     for k, v in cols.items():
                         sv.add_scalar(k, float(v[r]), int(li[r]))
 
-    def _stream_timings(self, step, epoch_s):
+    def _stream_timings(self, step, epoch_s, wall_s=None):
         if self.metrics_savers is None:
             return
         for c in self.local_chains:
@@ -683,6 +687,12 @@ class MultiChainRunner:
             sv.add_scalar("timings/aggregate_steps_per_s",
                           self.n_chains * self.n_full / max(epoch_s, 1e-9),
                           step - 1)
+            if wall_s is not None:
+                # dispatch-to-dispatch: the true pipelined production rate
+                sv.add_scalar("timings/wall_s", wall_s, step - 1)
+                sv.add_scalar("timings/wall_aggregate_steps_per_s",
+                              self.n_chains * self.n_full
+                              / max(wall_s, 1e-9), step - 1)
             sv.flush(every_s=10, keep_last_row=True)
 
     def _flush_metrics(self):

@@ -36,6 +36,8 @@ def main(cfg):
     import jax
     if cfg["device"] == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    from bnn_priors_tpu.jit_utils import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
     import numpy as np
 

@@ -1,0 +1,89 @@
+"""Extract a committable JSON record from a (multi-chain) run directory.
+
+The r4 verdict (missing #5): perf records lived only as prose — an
+auditor could not re-derive the numbers from a committed artifact. This
+tool walks a sweep/train log_dir and emits one compact JSON with, per
+chain: config identity (temperature/replicate/seed), the full
+timings/* series, epoch-end potential/loss series, test metrics,
+boundary delta-energies/acceptance, and sample-bank shape — small
+enough to commit, complete enough to re-derive every claimed number.
+
+Usage: python experiments/records/extract_record.py LOG_DIR OUT.json
+"""
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _series(f, key):
+    import h5py  # noqa: F401
+    if key not in f:
+        return None
+    v = np.asarray(f[key])
+    if v.dtype == np.int64:
+        v = v.astype(float)
+        v[v == float(np.iinfo(np.int64).min)] = np.nan
+    return [None if not np.isfinite(x) else round(float(x), 6) for x in v]
+
+
+def extract(log_dir):
+    import h5py
+    log_dir = Path(log_dir)
+    chains = []
+    for run in sorted(p for p in log_dir.iterdir() if p.is_dir()):
+        cfg_p, met_p = run / "config.json", run / "metrics.h5"
+        if not met_p.exists():
+            continue
+        cfg = json.loads(cfg_p.read_text()) if cfg_p.exists() else {}
+        entry = {"dir": run.name,
+                 **{k: cfg.get(k) for k in
+                    ("chain_index", "temperature", "replicate", "seed",
+                     "inference", "model", "data", "n_chains", "lr",
+                     "batch_size", "compute_dtype")}}
+        with h5py.File(met_p, "r") as f:
+            entry["steps"] = _series(f, "steps")
+            for k in ("timings/epoch_s", "timings/steps_per_s",
+                      "timings/aggregate_steps_per_s", "timings/wall_s",
+                      "timings/wall_aggregate_steps_per_s",
+                      "potential", "loss",
+                      "test/acc", "test/loss", "delta_energy",
+                      "acceptance/rejected", "est_temperature/all",
+                      "est_config_temp/all", "temperature"):
+                s = _series(f, k)
+                if s is not None:
+                    entry[k] = s
+        smp = run / "samples.pt"
+        if smp.exists():
+            with h5py.File(smp, "r") as f:
+                entry["n_samples_stored"] = int(f["steps"].shape[0])
+        res = {}
+        rj = run / "run.json"
+        if rj.exists():
+            res = json.loads(rj.read_text()).get("result") or {}
+        entry["result"] = res
+        chains.append(entry)
+    # roll-up: prefer the dispatch-to-dispatch wall rate (the honest
+    # pipelined production metric); fall back to the fetch-forced one.
+    rollup = {}
+    for key, tag in (("timings/wall_aggregate_steps_per_s", "wall"),
+                     ("timings/aggregate_steps_per_s", "fetch")):
+        agg = next((c.get(key) for c in chains if c.get(key)), None)
+        if not agg:
+            continue
+        vals = [v for v in agg if v is not None]
+        if len(vals) > 1:
+            rollup[f"{tag}_epoch_aggregate_series"] = vals
+            mids = sorted(vals)[len(vals) // 4: -1] or vals
+            rollup[f"{tag}_warm_epoch_aggregate_steps_per_s"] = (
+                round(sum(mids) / len(mids), 1))
+    return {"log_dir": str(log_dir), "n_chains_found": len(chains),
+            "rollup": rollup, "chains": chains}
+
+
+if __name__ == "__main__":
+    out = extract(sys.argv[1])
+    Path(sys.argv[2]).write_text(json.dumps(out, indent=1))
+    print(f"wrote {sys.argv[2]}: {out['n_chains_found']} chains, "
+          f"rollup={out['rollup']}")

@@ -79,6 +79,8 @@ def main(cfg):
     import jax
     if cfg["device"] == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    from bnn_priors_tpu.jit_utils import enable_persistent_cache
+    enable_persistent_cache()  # tunnel compiles are minutes; warm loads seconds
     from bnn_priors_tpu.parallel import distributed
     # multi-host: must run before the first jax computation; afterwards
     # jax.devices() is the GLOBAL device set spanning all hosts

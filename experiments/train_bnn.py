@@ -84,6 +84,8 @@ def main(cfg):
     import jax
     if cfg["device"] == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    from bnn_priors_tpu.jit_utils import enable_persistent_cache
+    enable_persistent_cache()  # tunnel compiles are minutes; warm loads seconds
     from bnn_priors_tpu.parallel import distributed
     distributed.initialize_from_config(cfg)  # no-op unless num_processes>1
     import jax.numpy as jnp
@@ -342,6 +344,13 @@ def _run_multichain(cfg, run, data, model, loaded_params, model_state,
     if not cfg["save_samples"]:
         savers = []
 
+    import time as _time
+    _t0 = _time.perf_counter()
+
+    def _phase(name):
+        print(f"[timing] {name}: {_time.perf_counter() - _t0:.1f}s",
+              file=sys.stderr, flush=True)
+
     runner_cls = MultiChainRunnerReject if is_reject else MultiChainRunner
     extra = {}
     if is_reject:
@@ -365,6 +374,7 @@ def _run_multichain(cfg, run, data, model, loaded_params, model_state,
             chain_group_size=cfg["chain_group_size"],
             eval_skip=cfg["eval_skip"], pipeline=cfg["pipeline"],
             compute_dtype=cfg["compute_dtype"], **extra)
+        _phase("runner constructed (chain init + data upload)")
         ckpt = (run.artifact("chains.ckpt.npz")
                 if cfg["checkpoint_every"] else None)
         metrics_hist = runner.run(progressbar=cfg["progressbar"],
@@ -381,6 +391,7 @@ def _run_multichain(cfg, run, data, model, loaded_params, model_state,
             if m is not None:
                 m.close()
 
+    _phase("training epochs done")
     # per-chain evaluation + pooled ensemble over this host's chains
     results = []
     pooled_banks = []
@@ -415,6 +426,7 @@ def _run_multichain(cfg, run, data, model, loaded_params, model_state,
         pooled = evaluate_model(model, (x_test, jnp.asarray(y_test)),
                                 all_bank, likelihood_eval=True,
                                 accuracy_eval=True, calibration_eval=False)
+    _phase("final per-chain + pooled evaluation done")
     summary = {"chains": results, "pooled": pooled,
                "chain_dirs": [str(chain_runs[c].dir)
                               for c in sorted(chain_runs)],

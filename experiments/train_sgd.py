@@ -53,6 +53,8 @@ def main():
     import jax
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    from bnn_priors_tpu.jit_utils import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
     import numpy as np
 
