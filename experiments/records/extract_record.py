@@ -53,7 +53,9 @@ def extract(log_dir):
                       "est_config_temp/all", "temperature"):
                 s = _series(f, k)
                 if s is not None:
-                    entry[k] = s
+                    # 'series/' prefix avoids clobbering config scalars
+                    # of the same name (temperature)
+                    entry["series/" + k if k in entry else k] = s
         smp = run / "samples.pt"
         if smp.exists():
             with h5py.File(smp, "r") as f:
