@@ -85,6 +85,9 @@ def exact_potential_and_grad(model, kernel, position, model_state, tx, ty, *,
 
 
 class VerletSGLDRunnerReject(VerletSGLDRunner):
+    # reproduce the reference's post-rejection base-potential bug (A/B)
+    reference_base_potential = False
+
     def _make_kernel(self):
         return mcmc.VerletSGLD(num_data=self.eff_num_data,
                                momentum=self.momentum,
@@ -163,8 +166,15 @@ class VerletSGLDRunnerReject(VerletSGLDRunner):
                 # the OLD initial_potential. (The reference always uses the
                 # proposal's potential here — inference_reject.py:123 — which
                 # biases the acceptance test of the segment after a
-                # rejection; fixed deliberately.)
-                next_initial_pot = jnp.where(rejected, initial_potential, pot)
+                # rejection; fixed deliberately. Set
+                # `reference_base_potential=True` to reproduce the
+                # reference's (buggy) bookkeeping, e.g. for A/B parity
+                # attribution — see PARITY.md "accept_rate divergence".)
+                if self.reference_base_potential:
+                    next_initial_pot = pot
+                else:
+                    next_initial_pot = jnp.where(rejected,
+                                                 initial_potential, pot)
                 metrics = self._metric_dict(pot, {
                     "loss": loss, "acc": acc, "log_prior": log_prior}, lr, km)
                 return (chain, model_state, metrics, pot, de, rejected,

@@ -58,6 +58,10 @@ class MultiChainRunner:
     # means dispatch grouping was disabled or could not split the bank,
     # and aggregate throughput regresses off the peak.
     MAX_EFFICIENT_CHAINS_PER_DEVICE = 4
+    # measured aggregate steps/s/chip per chains-per-dispatch (PERF.md r5
+    # hybrid K-curve); _dispatch_groups prefers the fastest divisor
+    MEASURED_GROUP_RATES = {1: 1081, 2: 1312, 3: 1362, 4: 1334,
+                            6: 1247, 8: 1177}
 
     def __init__(self, model, train_data, n_chains, temperatures=1.0,
                  kernel="VerletSGLD", learning_rate=1e-2, momentum=0.994,
@@ -371,8 +375,13 @@ class MultiChainRunner:
             target = self.CHAIN_GROUP_TARGET
         if not target or n_local <= target:
             return 1, self.n_chains
-        # largest per-device group size <= target that divides n_local
-        d = max(g for g in range(1, target + 1) if n_local % g == 0)
+        # among group sizes <= target that divide n_local, pick the one
+        # with the highest MEASURED aggregate rate (PERF.md r5 hybrid
+        # K-curve), e.g. 12 local chains -> groups of 3 (1362) over 4
+        # (1334); unknown sizes fall back to largest-divides
+        divisors = [g for g in range(1, target + 1) if n_local % g == 0]
+        d = max(divisors,
+                key=lambda g: (self.MEASURED_GROUP_RATES.get(g, 0), g))
         Kg = d * n_dev
         return self.n_chains // Kg, Kg
 

@@ -53,8 +53,11 @@ UCI = dict(data="UCI_boston", width=50, depth=3, lr=1e-3, momentum=0.994,
 # samples): the test-RMSE row's per-seed spread is posterior-predictive MC
 # noise, which more samples average down (r3 verdict item 6)
 
+# lr=5e-4: at 1e-3 the torch reference occasionally collapses on a seed
+# (93% rejection, lp -0.59 on seed 1004) — a heavy tail that destroys the
+# row's statistical power without measuring any framework discrepancy
 SYNTH = dict(n_train=256, n_test=256, d=8, classes=2, width=32, depth=3,
-             lr=1e-3, momentum=0.994, cycles=10, warmup=8, sample=6,
+             lr=5e-4, momentum=0.994, cycles=10, warmup=8, sample=6,
              batch_size=32, temperature=1.0, sampling_decay="cosine")
 
 
@@ -84,6 +87,11 @@ def pooled_abs_moments(stacked):
     real discriminator."""
     a = np.asarray(stacked, dtype=np.float64)
     return float(np.abs(a).mean()), float(a.std())
+
+
+# reference sample banks, stashed per (workload, seed) so the JAX side can
+# score the IDENTICAL bank through its own evaluation path (eval parity)
+_REF_BANKS = {}
 
 
 # ---------------------------------------------------------------------------
@@ -212,9 +220,21 @@ def _ref_supervised(seed, workload):
     wm, ws = pooled_abs_moments(
         np.concatenate([np.asarray(samples[k], dtype=np.float64).reshape(
             samples[k].shape[0], -1) for k in wkeys], axis=1))
-    return {"lp_ensemble": result["lp_ensemble"],
-            "acc_ensemble": result["acc_ensemble"],
-            "accept_rate": acc_rate, "w_absmean": wm, "w_std": ws}, init_sd
+    out = {"lp_ensemble": result["lp_ensemble"],
+           "acc_ensemble": result["acc_ensemble"],
+           "accept_rate": acc_rate, "w_absmean": wm, "w_std": ws}
+    if workload == "uci_sgld":
+        # acc (test MSE) on this workload is heavy-tailed over seeds (bad
+        # posterior modes on short chains; min-detect was 60%+ even
+        # paired). Split the concerns: the POSTERIOR is compared via
+        # lp/w-moment rows; the EVALUATION path is compared by scoring
+        # the reference's own bank through both frameworks (near-zero
+        # variance, sub-percent min-detect).
+        _REF_BANKS[(workload, seed)] = {
+            k.replace("net.module.", "net."): np.asarray(v)
+            for k, v in samples.items()}
+        out["acc_ensemble_refbank"] = out.pop("acc_ensemble")
+    return out, init_sd
 
 
 # ---------------------------------------------------------------------------
@@ -314,28 +334,58 @@ def _tpu_supervised(seed, workload, init_sd=None):
                   for k, v in mstate.items()}
     else:
         params = exp_utils.he_initialize(params, k_he)
-    with tempfile.TemporaryDirectory() as td:
-        mpath = Path(td) / "metrics.h5"
-        with HDF5Metrics(mpath) as ms:
-            runner = runner_cls(
-                model, (x_train, y_train), (x_test, y_test),
-                epochs_per_cycle=cfg["warmup"] + cfg["sample"],
-                warmup_epochs=cfg["warmup"], sample_epochs=cfg["sample"],
-                learning_rate=cfg["lr"], skip=1, metrics_skip=1,
-                sampling_decay=cfg["sampling_decay"], cycles=cfg["cycles"],
-                temperature=cfg["temperature"], momentum=cfg["momentum"],
-                precond_update=precond, reject_samples=reject,
-                batch_size=cfg["batch_size"], metrics_saver=ms,
-                init_params=params, init_model_state=mstate, key=k_run)
-            runner.run(progressbar=False)
-            samples = runner.get_samples()
-        if reject:
-            m = load_metrics(mpath)
-            rej = np.asarray(m["acceptance"]["rejected"], dtype=np.float64)
-            rej = rej[np.isfinite(rej) & (rej >= 0)]  # drop int64-NaN fill
-            acc_rate = float(1.0 - rej[1:].mean())
-        else:
-            acc_rate = float("nan")
+    def one_run(reference_base_potential):
+        from bnn_priors_tpu.inference.reject import VerletSGLDRunnerReject
+        prev = VerletSGLDRunnerReject.reference_base_potential
+        VerletSGLDRunnerReject.reference_base_potential = \
+            reference_base_potential
+        try:
+            with tempfile.TemporaryDirectory() as td:
+                mpath = Path(td) / "metrics.h5"
+                with HDF5Metrics(mpath) as ms:
+                    runner = runner_cls(
+                        model, (x_train, y_train), (x_test, y_test),
+                        epochs_per_cycle=cfg["warmup"] + cfg["sample"],
+                        warmup_epochs=cfg["warmup"],
+                        sample_epochs=cfg["sample"],
+                        learning_rate=cfg["lr"], skip=1, metrics_skip=1,
+                        sampling_decay=cfg["sampling_decay"],
+                        cycles=cfg["cycles"],
+                        temperature=cfg["temperature"],
+                        momentum=cfg["momentum"],
+                        precond_update=precond, reject_samples=reject,
+                        batch_size=cfg["batch_size"], metrics_saver=ms,
+                        init_params=params, init_model_state=mstate,
+                        key=k_run)
+                    runner.run(progressbar=False)
+                    samples = runner.get_samples()
+                if reject:
+                    m = load_metrics(mpath)
+                    rej = np.asarray(m["acceptance"]["rejected"],
+                                     dtype=np.float64)
+                    rej = rej[np.isfinite(rej) & (rej >= 0)]  # int64-NaN
+                    acc_rate = float(1.0 - rej[1:].mean())
+                else:
+                    acc_rate = float("nan")
+            return samples, acc_rate
+        finally:
+            VerletSGLDRunnerReject.reference_base_potential = prev
+
+    if reject:
+        # Apples-to-apples: the production runner deliberately FIXES the
+        # reference's post-rejection base-potential bug
+        # (inference_reject.py:123), which measurably raises acceptance
+        # AND (via more accepted moves) widens the posterior — a real
+        # algorithmic divergence, attributed by A/B in PARITY.md
+        # ("accept_rate divergence"). Parity must test "same algorithm
+        # => same posterior", so ALL parity rows for exact-M-H workloads
+        # come from a run that reproduces the reference's bookkeeping;
+        # the production (fixed-mode) values ride along as *_fixed.
+        samples_fixed, acc_rate_fixed = one_run(False)
+        samples, acc_rate = one_run(True)
+    else:
+        samples, acc_rate_fixed = one_run(False)
+        samples_fixed, acc_rate = samples, float("nan")
     result = evaluate_model(model, (x_test, jnp.asarray(y_test)), samples,
                             likelihood_eval=True, accuracy_eval=True,
                             calibration_eval=False)
@@ -343,9 +393,28 @@ def _tpu_supervised(seed, workload, init_sd=None):
     wm, ws = pooled_abs_moments(
         np.concatenate([np.asarray(samples[k], dtype=np.float64).reshape(
             samples[k].shape[0], -1) for k in wkeys], axis=1))
-    return {"lp_ensemble": result["lp_ensemble"],
-            "acc_ensemble": result["acc_ensemble"],
-            "accept_rate": acc_rate, "w_absmean": wm, "w_std": ws}
+    out = {"lp_ensemble": result["lp_ensemble"],
+           "acc_ensemble": result["acc_ensemble"],
+           "accept_rate": acc_rate, "w_absmean": wm, "w_std": ws}
+    if workload == "uci_sgld":
+        ref_bank = _REF_BANKS.pop((workload, seed), None)
+        if ref_bank is not None:  # eval-path parity on the SAME bank
+            bank = {k: jnp.asarray(v, jnp.float32)
+                    for k, v in ref_bank.items()
+                    if k not in ("steps", "timestamps")}
+            r2 = evaluate_model(model, (x_test, jnp.asarray(y_test)), bank,
+                                likelihood_eval=True, accuracy_eval=True,
+                                calibration_eval=False)
+            out["acc_ensemble_refbank"] = r2["acc_ensemble"]
+        out.pop("acc_ensemble")
+    if reject:
+        wmf, wsf = pooled_abs_moments(
+            np.concatenate([np.asarray(samples_fixed[k],
+                                       dtype=np.float64).reshape(
+                samples_fixed[k].shape[0], -1) for k in wkeys], axis=1))
+        out.update(accept_rate_fixed=acc_rate_fixed, w_absmean_fixed=wmf,
+                   w_std_fixed=wsf)
+    return out
 
 
 RUNNERS = {
@@ -443,6 +512,16 @@ def write_report(path, all_rows, seeds):
         "",
         "w_absmean is the pooled E|w| (a zero-centered posterior's raw",
         "mean is ~0, which makes relative power meaningless).",
+        "",
+        "Exact-M-H rows compare a run that reproduces the reference's",
+        "post-rejection base-potential bookkeeping (its bug; see",
+        "PARITY.md 'accept_rate divergence') so 'same algorithm =>",
+        "same posterior' is what is tested; the production runner's",
+        "deliberately-fixed bookkeeping is measurably different",
+        "(higher, more stable acceptance).",
+        "",
+        "Every row must also have min-detect <= the --max-min-detect",
+        "power bar (default 20%) or it FAILS.",
         "", f"**{n_pass}/{len(all_rows)} comparisons pass.**", ""]
     Path(path).write_text("\n".join(lines))
 
@@ -450,6 +529,9 @@ def write_report(path, all_rows, seeds):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--seeds", type=int, default=4)
+    p.add_argument("--max-min-detect", type=float, default=0.20,
+                   help="power bar: every row's minimum detectable "
+                        "relative discrepancy must be <= this")
     p.add_argument("--workloads", default="gaussian,uci_sgld,synth_reject")
     p.add_argument("--out", default=str(
         Path(__file__).resolve().parent.parent / "PARITY_RESULTS.md"))
@@ -472,12 +554,20 @@ def main(argv=None):
                             else tpu_fn(1000 + s))
             print(f"  -> {json.dumps(tpu_rows[-1])}", flush=True)
         all_rows.extend(compare(ref_rows, tpu_rows, wl))
+    # power bar (r4 verdict item 5): a parity row that cannot detect a
+    # max-min-detect discrepancy is decoration, not a test
+    for r in all_rows:
+        if r["min_detect_rel"] > args.max_min_detect:
+            r["pass"] = False
+            r["fail_reason"] = (f"min_detect {100*r['min_detect_rel']:.1f}% "
+                                f"> {100*args.max_min_detect:.0f}% power bar")
     write_report(args.out, all_rows, args.seeds)
     for r in all_rows:
         print(f"{r['workload']:>13s} {r['metric']:>12s} "
               f"ref={r['ref_mean']:.4f}±{r['ref_sd']:.4f} "
               f"tpu={r['tpu_mean']:.4f}±{r['tpu_sd']:.4f} z={r['z']:.2f} "
-              f"{'PASS' if r['pass'] else 'FAIL'}")
+              f"{'PASS' if r['pass'] else 'FAIL'}"
+              + (f" ({r['fail_reason']})" if r.get("fail_reason") else ""))
     if not all(r["pass"] for r in all_rows):
         sys.exit(1)
 
