@@ -486,31 +486,98 @@ class MultiChainRunner:
             if (checkpoint_path is not None and checkpoint_every is not None
                     and (e + 1) % checkpoint_every == 0):
                 if pending is not None:
-                    metrics_hist.append(self._drain_epoch(pending))
+                    pending["wall_s"] = time.perf_counter() - pending["t0"]
+                    self._submit_drain(metrics_hist, pending)
                     pending = None
+                self._flush_drains()  # checkpoint sees all writes
                 self.save_checkpoint(checkpoint_path, e + 1, step)
         if pending is not None:
-            metrics_hist.append(self._drain_epoch(pending))
+            pending["wall_s"] = time.perf_counter() - pending["t0"]
+            self._submit_drain(metrics_hist, pending)
+        self._stop_drain_worker()
         self._flush_metrics()
         return metrics_hist
 
     # -- pipelined epoch tail / drain --------------------------------------
     def _advance_pipeline(self, metrics_hist, pending, rec):
         """One-epoch-deep pipeline: the previous epoch's host work (HDF5
-        writes, sample streaming, eval fetch) runs AFTER this epoch's
-        device work is dispatched, so it overlaps device compute instead
-        of idling the chip (the measured ~0.85 s/epoch production tax,
-        PERF.md r4). `pipeline=False` drains immediately."""
+        writes, sample streaming, eval fetch) runs on a DRAIN WORKER
+        THREAD after this epoch's device work is dispatched, so it
+        overlaps both device compute and the main thread's dispatch work
+        (the measured ~0.85 s/epoch production tax, PERF.md r4; the
+        inline drain still left ~0.4 s/epoch of host serialization).
+        `pipeline=False` drains immediately on the calling thread."""
         if pending is not None:
             # true steady-state wall per epoch = dispatch-to-dispatch delta
             # (epoch_s measures fetch-forced completion, which on a FIFO
             # transport includes any already-enqueued next epoch)
             pending["wall_s"] = rec["t0"] - pending["t0"]
-            metrics_hist.append(self._drain_epoch(pending))
+            self._submit_drain(metrics_hist, pending)
         if self.pipeline:
             return rec
         metrics_hist.append(self._drain_epoch(rec))
         return None
+
+    # -- drain worker thread ------------------------------------------------
+    def _start_drain_worker(self, metrics_hist):
+        import queue
+        import threading
+        self._drain_q = queue.Queue(maxsize=2)  # bounds pipeline depth
+        self._drain_errors = []
+
+        def worker():
+            while True:
+                item = self._drain_q.get()
+                try:
+                    if item is None:
+                        return
+                    try:
+                        metrics_hist.append(self._drain_epoch(item))
+                    except BaseException as e:  # noqa: BLE001 — re-raised
+                        self._drain_errors.append(e)
+                finally:
+                    self._drain_q.task_done()
+
+        self._drain_thread = threading.Thread(
+            target=worker, name="drain-worker", daemon=True)
+        self._drain_thread.start()
+
+    def _submit_drain(self, metrics_hist, rec):
+        if not self.pipeline:
+            metrics_hist.append(self._drain_epoch(rec))
+            return
+        if getattr(self, "_drain_thread", None) is None:
+            self._start_drain_worker(metrics_hist)
+        self._raise_drain_errors()
+        self._drain_q.put(rec)
+
+    def _flush_drains(self):
+        "block until all queued drains are written (checkpoint/end-of-run)"
+        if getattr(self, "_drain_thread", None) is not None:
+            self._drain_q.join()
+            self._raise_drain_errors()
+
+    def _stop_drain_worker(self):
+        if getattr(self, "_drain_thread", None) is not None:
+            self._drain_q.put(None)
+            self._drain_thread.join()
+            self._drain_thread = None
+            self._raise_drain_errors()
+
+    def _raise_drain_errors(self):
+        if getattr(self, "_drain_errors", None):
+            err = self._drain_errors[0]
+            self._drain_errors = []
+            self._stop_drain_worker_noraise()
+            raise err
+
+    def _stop_drain_worker_noraise(self):
+        if getattr(self, "_drain_thread", None) is not None:
+            try:
+                self._drain_q.put(None)
+                self._drain_thread.join(timeout=30)
+            finally:
+                self._drain_thread = None
 
     def _temps_for(self, epoch):
         "per-chain temperatures for the epoch (0 during descent epochs)"
@@ -1134,11 +1201,15 @@ class MultiChainRunnerReject(MultiChainRunner):
             if (checkpoint_path is not None and checkpoint_every is not None
                     and (e + 1) % checkpoint_every == 0):
                 if pending is not None:
-                    metrics_hist.append(self._drain_epoch(pending))
+                    pending["wall_s"] = time.perf_counter() - pending["t0"]
+                    self._submit_drain(metrics_hist, pending)
                     pending = None
+                self._flush_drains()  # checkpoint sees all writes
                 self.save_checkpoint(checkpoint_path, e + 1, step)
         if pending is not None:
-            metrics_hist.append(self._drain_epoch(pending))
+            pending["wall_s"] = time.perf_counter() - pending["t0"]
+            self._submit_drain(metrics_hist, pending)
+        self._stop_drain_worker()
         self._flush_metrics()
         return metrics_hist
 
