@@ -56,6 +56,10 @@ DEFAULTS = dict(
     batch_size=128,
     batchnorm=True,
     n_devices=None,                # chains mesh axis size (None = all)
+    max_chains_per_program=60,     # partition bigger banks into sequential
+                                   # programs: this transport's watchdog
+                                   # kills any single dispatch >~60s
+                                   # (PERF.md r5; 60-chain epochs are ~27s)
     chain_group_size=None,         # chains/device per dispatch group
                                    # (None = measured sweet spot)
     checkpoint_every=None,         # epochs between full chain-state snapshots
@@ -167,28 +171,57 @@ def main(cfg):
     is_reject = cfg["inference"] in reject_kernels
     runner_cls = MultiChainRunnerReject if is_reject else MultiChainRunner
     kernel_name = reject_kernels.get(cfg["inference"], cfg["inference"])
+    # partition oversized banks into sequential programs: chains are
+    # independent, so a 150-chain grid as 3 sequential 50-chain programs
+    # is semantically identical and stays under the transport's measured
+    # ~60s single-dispatch watchdog (PERF.md round-5 sweep section)
+    max_cpp = int(cfg.get("max_chains_per_program") or 0) or n_chains
+    n_parts = -(-n_chains // max_cpp)
+    bounds = np.linspace(0, n_chains, n_parts + 1).astype(int)
+    parts = [(int(bounds[i]), int(bounds[i + 1])) for i in range(n_parts)]
+    if n_parts > 1:
+        assert jax.process_count() == 1, \
+            "bank partitioning not supported with multi-host runs"
+        assert cfg["resume_from"] is None, \
+            "resume of a partitioned sweep is not supported; raise " \
+            "max_chains_per_program or resume each part manually"
+        print(f"# {n_chains} chains as {n_parts} sequential programs of "
+              f"<= {max_cpp}", file=sys.stderr)
+    chain_owner = {}
     try:
-        runner = runner_cls(
-            model, (x_train, y_train), n_chains=n_chains,
-            temperatures=chain_temps, kernel=kernel_name,
-            learning_rate=cfg["lr"], momentum=cfg["momentum"],
-            batch_size=cfg["batch_size"], cycles=cfg["cycles"],
-            epochs_per_cycle=epochs_per_cycle, warmup_epochs=cfg["warmup"],
-            sample_epochs=sample_epochs, skip=cfg["skip"],
-            precond_update=cfg["precond_update"], mesh=mesh,
-            key=jax.random.key(cfg["seed"]), augment_fn=augment_fn,
-            model_savers=savers or None,
-            metrics_savers=msavers, metrics_skip=cfg["metrics_skip"],
-            test_data=(x_test, y_test),
-            chain_group_size=cfg["chain_group_size"],
-            eval_skip=cfg["eval_skip"], pipeline=cfg["pipeline"],
-            compute_dtype=cfg.get("compute_dtype"))
-        ckpt = (str(Path(cfg["log_dir"]) / "sweep_checkpoint.npz")
-                if cfg["checkpoint_every"] else None)
-        metrics_hist = runner.run(progressbar=cfg["progressbar"],
-                                  checkpoint_path=ckpt,
-                                  checkpoint_every=cfg["checkpoint_every"],
-                                  resume_from=cfg["resume_from"])
+        for p, (lo, hi) in enumerate(parts):
+            if mesh is not None:
+                assert (hi - lo) % mesh.devices.size == 0, \
+                    (lo, hi, mesh.devices.size)
+            runner = runner_cls(
+                model, (x_train, y_train), n_chains=hi - lo,
+                temperatures=chain_temps[lo:hi], kernel=kernel_name,
+                learning_rate=cfg["lr"], momentum=cfg["momentum"],
+                batch_size=cfg["batch_size"], cycles=cfg["cycles"],
+                epochs_per_cycle=epochs_per_cycle,
+                warmup_epochs=cfg["warmup"],
+                sample_epochs=sample_epochs, skip=cfg["skip"],
+                precond_update=cfg["precond_update"], mesh=mesh,
+                key=jax.random.fold_in(jax.random.key(cfg["seed"]), p),
+                augment_fn=augment_fn,
+                model_savers=(savers[lo:hi] or None) if savers else None,
+                metrics_savers=msavers[lo:hi],
+                metrics_skip=cfg["metrics_skip"],
+                test_data=(x_test, y_test),
+                chain_group_size=cfg["chain_group_size"],
+                eval_skip=cfg["eval_skip"], pipeline=cfg["pipeline"],
+                compute_dtype=cfg.get("compute_dtype"))
+            for c in range(lo, hi):
+                chain_owner[c] = (runner, c - lo)
+            ckpt = None
+            if cfg["checkpoint_every"]:
+                suffix = f"_part{p}" if n_parts > 1 else ""
+                ckpt = str(Path(cfg["log_dir"])
+                           / f"sweep_checkpoint{suffix}.npz")
+            metrics_hist = runner.run(
+                progressbar=cfg["progressbar"], checkpoint_path=ckpt,
+                checkpoint_every=cfg["checkpoint_every"],
+                resume_from=cfg["resume_from"])
     finally:
         for s in savers:
             if s is not None:
@@ -202,10 +235,11 @@ def main(cfg):
     results = []
     for c, run in sorted(runs.items()):
         r, t = divmod(c, len(temps))
+        owner, local_c = chain_owner[c]
         if savers:
             bank = load_samples(str(run.dir / "samples.pt"))
         else:
-            bank = runner.chain_samples(c)
+            bank = owner.chain_samples(local_c)
         if not bank or next(iter(bank.values())).shape[0] == 0:
             # e.g. resumed at/after the final epoch: nothing new sampled
             res = {"n_samples": 0, "temperature": temps[t], "replicate": r}
@@ -219,7 +253,7 @@ def main(cfg):
         res = evaluate_model(model, (x_test, y_test), eval_bank)
         res.update(temperature=temps[t], replicate=r)
         if is_reject:
-            res["acceptance"] = float(runner.acceptance_rates()[c])
+            res["acceptance"] = float(owner.acceptance_rates()[local_c])
         run.finish(res)
         results.append(res)
         print(json.dumps(res))

@@ -181,3 +181,29 @@ def test_train_sgd_baseline_artifact_contract(tmp_path):
     assert "lp_ensemble" in rj["result"]
     cfgj = json.loads((tmp_path / "config.json").read_text())
     assert cfgj["temperature"] == 0.0
+
+
+def test_sweep_partitioned_bank(tmp_path, small_random_data):
+    """max_chains_per_program: an oversized bank runs as sequential
+    programs (the transport's ~60s single-dispatch watchdog, PERF.md r5)
+    with identical per-chain artifacts and results."""
+    sweep = _load("sweep_tempering")
+
+    cfg = dict(sweep.DEFAULTS)
+    cfg.update(data="random", model="densenet", inference="VerletSGLDReject",
+               temperatures=[0.01, 1.0], replicates=3, cycles=2, warmup=1,
+               burnin=0, n_samples=2, skip=1, skip_first=0, batch_size=16,
+               lr=1e-3, device="cpu", progressbar=False, n_devices=1,
+               max_chains_per_program=4,  # 6 chains -> 2 programs of 3
+               log_dir=str(tmp_path / "sweep_part"))
+    results = sweep.main(cfg)
+    assert len(results) == 6
+    assert sorted(r["temperature"] for r in results) == [0.01] * 3 + [1.0] * 3
+    assert all("acceptance" in r for r in results)
+    n_dirs = sum(1 for d in (tmp_path / "sweep_part").iterdir()
+                 if d.is_dir())
+    assert n_dirs == 6
+    for d in (tmp_path / "sweep_part").iterdir():
+        if d.is_dir():
+            assert (d / "samples.pt").exists()
+            assert (d / "metrics.h5").exists()
