@@ -522,6 +522,9 @@ class MultiChainRunner:
     def _start_drain_worker(self, metrics_hist):
         import queue
         import threading
+        # a worker left over from an exception-aborted run() holds the OLD
+        # history list; retire it before starting fresh
+        self._stop_drain_worker_noraise()
         self._drain_q = queue.Queue(maxsize=2)  # bounds pipeline depth
         self._drain_errors = []
 
@@ -543,7 +546,12 @@ class MultiChainRunner:
         self._drain_thread.start()
 
     def _submit_drain(self, metrics_hist, rec):
-        if not self.pipeline:
+        # Multi-host: the drain fetches replicated values via collectives
+        # (host_value); issuing them from a worker thread would race the
+        # main thread's dispatches and the collective ORDER would differ
+        # across processes — a deadlock. Drain inline (still after the
+        # next epoch's dispatch, so device overlap is kept).
+        if not self.pipeline or self._multiprocess:
             metrics_hist.append(self._drain_epoch(rec))
             return
         if getattr(self, "_drain_thread", None) is None:
