@@ -126,9 +126,18 @@ def _predict_all(model, x, y, samples, batch_size=512, mesh=None):
                     [v, jnp.broadcast_to(v[-1:], (padE,) + v.shape[1:])])
             params_bank = {k: _padE(v) for k, v in params_bank.items()}
             state_bank = {k: _padE(v) for k, v in state_bank.items()}
-        sharded = jax.jit(jax.shard_map(
-            run, mesh=mesh, in_specs=(P(axis), P(axis), P(), P()),
-            out_specs=P(axis), check_vma=False))
+        # same retrace trap as the single-device path: cache the sharded
+        # wrapper per (model, mesh) so repeated multi-device evaluations
+        # hit jit's cache instead of re-tracing the whole predictor
+        cache = getattr(model, "_predict_sharded_jit", None)
+        if cache is None:
+            cache = model._predict_sharded_jit = {}
+        mesh_key = (id(mesh), axis, n_dev)
+        sharded = cache.get(mesh_key)
+        if sharded is None:
+            sharded = cache[mesh_key] = jax.jit(jax.shard_map(
+                run, mesh=mesh, in_specs=(P(axis), P(axis), P(), P()),
+                out_specs=P(axis), check_vma=False))
         lps, preds = sharded(params_bank, state_bank, xs, ys)
         if padE:
             lps = lps[:E]

@@ -23,6 +23,22 @@ __all__ = ("get_data", "get_model", "he_initialize", "he_zerobias_initialize",
            "he_uniform_initialize")
 
 
+_DATA_REGISTRY = {
+    "cifar10": data_mod.CIFAR10,
+    "cifar10_augmented": data_mod.CIFAR10Augmented,
+    "cifar10_small": data_mod.CIFAR10Small,
+    "mnist": data_mod.MNIST,
+    "rotated_mnist": data_mod.RotatedMNIST,
+    "fashion_mnist": data_mod.FashionMNIST,
+    "svhn": data_mod.SVHN,
+    "random": data_mod.RandomData,
+    "random_ood_test": data_mod.RandomOODTestData,
+    # synthetic stand-ins (no downloads in the build environment)
+    "fake_mnist": data_mod.FakeMNIST,
+    "fake_cifar10": data_mod.FakeCIFAR10,
+}
+
+
 def get_data(data: str, synthetic_ok=True, **kwargs):
     "string → dataset (reference exp_utils.py:30-60 + Fake* extensions)"
     if data[:3] == "UCI":
@@ -33,23 +49,22 @@ def get_data(data: str, synthetic_ok=True, **kwargs):
     if data[:8] == "cifar10c":
         corruption = data.split("-")[1]
         return data_mod.CIFAR10_C(corruption, **kwargs)
-    registry = {
-        "cifar10": data_mod.CIFAR10,
-        "cifar10_augmented": data_mod.CIFAR10Augmented,
-        "cifar10_small": data_mod.CIFAR10Small,
-        "mnist": data_mod.MNIST,
-        "rotated_mnist": data_mod.RotatedMNIST,
-        "fashion_mnist": data_mod.FashionMNIST,
-        "svhn": data_mod.SVHN,
-        "random": data_mod.RandomData,
-        "random_ood_test": data_mod.RandomOODTestData,
-        # synthetic stand-ins (no downloads in the build environment)
-        "fake_mnist": data_mod.FakeMNIST,
-        "fake_cifar10": data_mod.FakeCIFAR10,
-    }
-    if data not in registry:
+    if data not in _DATA_REGISTRY:
         raise ValueError(f"Unknown data={data!r}")
-    return registry[data](**kwargs)
+    return _DATA_REGISTRY[data](**kwargs)
+
+
+def get_data_seeded(data: str, seed):
+    """get_data, passing `seed=` only when the dataset's constructor
+    accepts it (signature-checked — a blanket `except TypeError` would
+    swallow genuine TypeErrors raised INSIDE a seed-accepting
+    constructor and silently return an unseeded dataset, the exact
+    train/eval mismatch the seeding exists to prevent)."""
+    import inspect
+    cls = _DATA_REGISTRY.get(data)
+    if cls is not None and "seed" in inspect.signature(cls).parameters:
+        return get_data(data, seed=int(seed))
+    return get_data(data)  # deterministic (file-backed/UCI/corrupted)
 
 
 def get_data_from_config(cfg, key=None):
@@ -70,18 +85,12 @@ def get_data_from_config(cfg, key=None):
         # evaluates the SAME dataset the model trained on. (The reference
         # leaves these unseeded — toy_data.py:91-99 — so its eval on
         # data=random silently scores a fresh dataset; deliberate fix.)
-        try:
-            return get_data(data_name, seed=int(cfg["seed"])), key
-        except TypeError:  # file-backed datasets are deterministic, no seed
-            return get_data(data_name), key
+        return get_data_seeded(data_name, cfg["seed"]), key
     _, base_name, prior_name = data_name.split(".")
-    try:
-        # toy bases draw random inputs — pin them to the config seed so
-        # eval regenerates the same dataset; file-backed bases (UCI, MNIST)
-        # are deterministic and take no seed
-        base = get_data(base_name, seed=int(cfg["seed"]))
-    except TypeError:
-        base = get_data(base_name)
+    # toy bases draw random inputs — pin them to the config seed so
+    # eval regenerates the same dataset; file-backed bases (UCI, MNIST)
+    # are deterministic and take no seed (signature-checked)
+    base = get_data_seeded(base_name, cfg["seed"])
     model_true = get_model(
         base.norm.train_X, base.norm.train_y, cfg["model"], cfg["width"],
         cfg["depth"], prior_name, cfg["weight_loc"], cfg["weight_scale"],

@@ -239,11 +239,9 @@ class HybridPacker(SegPacker):
                 out[i] = jnp.reshape(seg, self.shapes[i])
         return jax.tree_util.tree_unflatten(self.treedef, out)
 
-    # -- noise: one stream per SEGMENT (n_native + 1, not n_leaves) ---------
-    def normal_like(self, key, like: SegVec) -> SegVec:
-        return SegVec(
-            jax.random.normal(jax.random.fold_in(key, i), l.shape, l.dtype)
-            for i, l in enumerate(like.leaves))
+    # noise: the inherited SegPacker.normal_like already draws one stream
+    # per SegVec leaf — which for the hybrid rep means one per SEGMENT
+    # (n_native + 1), not one per original parameter leaf.
 
     # -- per-ORIGINAL-leaf reductions (diagnostics stay leaf-granular) ------
     def segment_sum(self, vec: SegVec) -> jnp.ndarray:

@@ -370,18 +370,23 @@ class MultiChainRunner:
         n_local = self.n_chains // max(n_dev, 1)
         if self.n_chains % max(n_dev, 1) != 0 or n_local == 0:
             return 1, self.n_chains
+        explicit = self.chain_group_size is not None
         target = self.chain_group_size
         if target is None:
             target = self.CHAIN_GROUP_TARGET
         if not target or n_local <= target:
             return 1, self.n_chains
-        # among group sizes <= target that divide n_local, pick the one
-        # with the highest MEASURED aggregate rate (PERF.md r5 hybrid
-        # K-curve), e.g. 12 local chains -> groups of 3 (1362) over 4
-        # (1334); unknown sizes fall back to largest-divides
         divisors = [g for g in range(1, target + 1) if n_local % g == 0]
-        d = max(divisors,
-                key=lambda g: (self.MEASURED_GROUP_RATES.get(g, 0), g))
+        if explicit:
+            # honor the user's request literally: largest divisor <= it
+            d = max(divisors)
+        else:
+            # auto: among group sizes <= target that divide n_local, pick
+            # the one with the highest MEASURED aggregate rate (PERF.md r5
+            # hybrid K-curve), e.g. 12 local chains -> groups of 3 (1362)
+            # over 4 (1334); unknown sizes fall back to largest-divides
+            d = max(divisors,
+                    key=lambda g: (self.MEASURED_GROUP_RATES.get(g, 0), g))
         Kg = d * n_dev
         return self.n_chains // Kg, Kg
 
@@ -442,6 +447,21 @@ class MultiChainRunner:
 
     def run(self, progressbar=False, resume_from=None, checkpoint_path=None,
             checkpoint_every=None):
+        """Run all epochs (see _run_impl). Guarantees the drain worker is
+        stopped (pending records written or abandoned) BEFORE an exception
+        propagates — callers close the HDF5 savers in their own `finally`,
+        which must not race worker-thread writes."""
+        try:
+            return self._run_impl(progressbar=progressbar,
+                                  resume_from=resume_from,
+                                  checkpoint_path=checkpoint_path,
+                                  checkpoint_every=checkpoint_every)
+        except BaseException:
+            self._stop_drain_worker_noraise()
+            raise
+
+    def _run_impl(self, progressbar=False, resume_from=None,
+                  checkpoint_path=None, checkpoint_every=None):
         if self._epoch_fn is None:
             self._epoch_fn = self._build_epoch_fn()
         start_e = 0
@@ -647,7 +667,10 @@ class MultiChainRunner:
         device results, write metrics/eval/samples, return the epoch-end
         entry. The first fetch forces epoch completion, so epoch_s is real
         device wall time even on transports whose block_until_ready
-        returns early (bench.py timing note)."""
+        returns early (bench.py timing note) — but when the drain worker
+        is backlogged it additionally includes queue wait; `wall_s`
+        (dispatch-to-dispatch) is the authoritative production rate and
+        extract_record.py prefers it."""
         host = self._host(rec["fetch"])
         epoch_s = time.perf_counter() - rec["t0"]
         ms_host = host["ms"]
@@ -860,19 +883,28 @@ class MultiChainRunner:
         the vmapped `unpack` itself — per-parameter (K, ...) arrays whose
         host fetch is one transfer per parameter, sliced per chain in
         numpy (instead of K×L device-side row gathers)."""
+        # NOTE: every leaf must be FORCED through a computation (a+0 /
+        # double-not): jit FORWARDS pass-through outputs — `dict(ms)` and
+        # a same-shape reshape (the hybrid/segmented native-leaf unpack)
+        # return the INPUT buffer, which the next donating dispatch would
+        # overwrite under the drain's feet (verified by buffer-pointer
+        # identity; caught in the round-5 code review).
+        def copy_leaf(a):
+            if a.dtype == jnp.bool_:
+                return jnp.logical_not(jnp.logical_not(a))
+            return a + jnp.zeros((), a.dtype)
+
         if self.model_savers is not None:
             if self._snap_unpack_fn is None:
                 kernel = self.kernel
-                self._snap_unpack_fn = jax.jit(lambda pos, ms: (
-                    jax.vmap(kernel.unpack)(pos), dict(ms)))
+                self._snap_unpack_fn = jax.jit(
+                    lambda pos, ms: jax.tree_util.tree_map(
+                        copy_leaf,
+                        (jax.vmap(kernel.unpack)(pos), dict(ms))))
             params, ms = self._snap_unpack_fn(self.states.position,
                                               dict(self.model_states))
             return ("unpacked", params, ms)
         if self._snap_fn is None:
-            def copy_leaf(a):
-                if a.dtype == jnp.bool_:
-                    return jnp.logical_not(jnp.logical_not(a))
-                return a + jnp.zeros((), a.dtype)
             self._snap_fn = jax.jit(
                 lambda t: jax.tree_util.tree_map(copy_leaf, t))
         pos, ms = self._snap_fn((self.states.position,
@@ -1123,8 +1155,8 @@ class MultiChainRunnerReject(MultiChainRunner):
         return super()._restore_meta(meta)
 
     # -- main loop -----------------------------------------------------------
-    def run(self, progressbar=False, resume_from=None, checkpoint_path=None,
-            checkpoint_every=None):
+    def _run_impl(self, progressbar=False, resume_from=None,
+                  checkpoint_path=None, checkpoint_every=None):
         if self._epoch_fn is None:
             self._epoch_fn = self._build_epoch_fn()
         if self._exact_fn is None:

@@ -67,12 +67,10 @@ def main(cfg):
 
     if cfg["eval_data"]:
         # pin toy eval datasets to the train seed so repeated evals score
-        # the same points (deterministic datasets reject the kwarg)
-        try:
-            data = exp_utils.get_data(cfg["eval_data"],
-                                      seed=int(train_cfg["seed"]))
-        except TypeError:
-            data = exp_utils.get_data(cfg["eval_data"])
+        # the same points (signature-checked; deterministic datasets take
+        # no seed)
+        data = exp_utils.get_data_seeded(cfg["eval_data"],
+                                         train_cfg["seed"])
     else:
         # regenerates synthetic.<base>.<prior> datasets from the train seed
         data, _ = exp_utils.get_data_from_config(train_cfg)

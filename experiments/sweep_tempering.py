@@ -187,7 +187,7 @@ def main(cfg):
             "max_chains_per_program or resume each part manually"
         print(f"# {n_chains} chains as {n_parts} sequential programs of "
               f"<= {max_cpp}", file=sys.stderr)
-    chain_owner = {}
+    part_results = {}
     try:
         for p, (lo, hi) in enumerate(parts):
             if mesh is not None:
@@ -211,8 +211,6 @@ def main(cfg):
                 chain_group_size=cfg["chain_group_size"],
                 eval_skip=cfg["eval_skip"], pipeline=cfg["pipeline"],
                 compute_dtype=cfg.get("compute_dtype"))
-            for c in range(lo, hi):
-                chain_owner[c] = (runner, c - lo)
             ckpt = None
             if cfg["checkpoint_every"]:
                 suffix = f"_part{p}" if n_parts > 1 else ""
@@ -222,6 +220,34 @@ def main(cfg):
                 progressbar=cfg["progressbar"], checkpoint_path=ckpt,
                 checkpoint_every=cfg["checkpoint_every"],
                 resume_from=cfg["resume_from"])
+            # finish this part's chains NOW and release the runner: a
+            # completed part's device state (positions/momenta/rollback
+            # slots) must not stay resident while later parts run
+            acc_rates = (np.asarray(runner.acceptance_rates())
+                         if is_reject else None)
+            for c in range(lo, hi):
+                run = runs[c]
+                r, t = divmod(c, len(temps))
+                if savers:
+                    bank = load_samples(str(run.dir / "samples.pt"))
+                else:
+                    bank = runner.chain_samples(c - lo)
+                if not bank or next(iter(bank.values())).shape[0] == 0:
+                    # e.g. resumed at/after the final epoch
+                    res = {"n_samples": 0, "temperature": temps[t],
+                           "replicate": r}
+                else:
+                    skip_first = min(cfg["skip_first"],
+                                     next(iter(bank.values())).shape[0] - 1)
+                    eval_bank = {k: np.asarray(v)[skip_first:]
+                                 for k, v in bank.items()}
+                    res = evaluate_model(model, (x_test, y_test), eval_bank)
+                    res.update(temperature=temps[t], replicate=r)
+                    if is_reject:
+                        res["acceptance"] = float(acc_rates[c - lo])
+                run.finish(res)
+                part_results[c] = res
+            del runner
     finally:
         for s in savers:
             if s is not None:
@@ -233,28 +259,8 @@ def main(cfg):
                 m.close()
 
     results = []
-    for c, run in sorted(runs.items()):
-        r, t = divmod(c, len(temps))
-        owner, local_c = chain_owner[c]
-        if savers:
-            bank = load_samples(str(run.dir / "samples.pt"))
-        else:
-            bank = owner.chain_samples(local_c)
-        if not bank or next(iter(bank.values())).shape[0] == 0:
-            # e.g. resumed at/after the final epoch: nothing new sampled
-            res = {"n_samples": 0, "temperature": temps[t], "replicate": r}
-            run.finish(res)
-            results.append(res)
-            print(json.dumps(res))
-            continue
-        skip_first = min(cfg["skip_first"],
-                         next(iter(bank.values())).shape[0] - 1)
-        eval_bank = {k: np.asarray(v)[skip_first:] for k, v in bank.items()}
-        res = evaluate_model(model, (x_test, y_test), eval_bank)
-        res.update(temperature=temps[t], replicate=r)
-        if is_reject:
-            res["acceptance"] = float(owner.acceptance_rates()[local_c])
-        run.finish(res)
+    for c in sorted(part_results):
+        res = part_results[c]
         results.append(res)
         print(json.dumps(res))
     return results

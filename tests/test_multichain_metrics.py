@@ -203,3 +203,54 @@ def test_pipeline_equivalence(tmp_path):
                     np.testing.assert_array_equal(
                         np.asarray(fp[k]), np.asarray(fs[k]),
                         err_msg=f"{fn}/{k}")
+
+
+def test_snapshot_sample_is_a_real_copy():
+    """The staged sample must not share device buffers with the live
+    chain state: jit FORWARDS pass-through outputs (dict(ms), same-shape
+    reshapes of hybrid/segmented native leaves), and the next donating
+    dispatch overwrites the live buffers under the pipelined drain
+    (round-5 code-review finding, fixed by forcing a computation per
+    leaf)."""
+    from bnn_priors_tpu.parallel import MultiChainRunner
+
+    kx, ky = jax.random.split(jax.random.key(0))
+    x = jax.random.normal(kx, (32, 3 * 8 * 8))
+    y = (jax.random.normal(ky, (32,)) > 0).astype(jnp.int32)
+    model = models.ClassificationConvNet(3, 8, 2, width=8, depth=3)
+
+    class _NullSaver:
+        def add_state_dict(self, *a, **k):
+            pass
+
+        def close(self):
+            pass
+
+    def live_ptrs(runner):
+        out = set()
+        for leaf in jax.tree_util.tree_leaves(
+                (runner.states.position, dict(runner.model_states))):
+            try:
+                out.add(leaf.unsafe_buffer_pointer())
+            except Exception:
+                pass
+        return out
+
+    for savers in ([_NullSaver(), _NullSaver()], None):  # unpacked, packed
+        runner = MultiChainRunner(
+            model, (x, y), n_chains=2, temperatures=1.0,
+            kernel="VerletSGLD", learning_rate=1e-3, momentum=0.9,
+            batch_size=16, cycles=1, epochs_per_cycle=1, warmup_epochs=0,
+            sample_epochs=1, key=jax.random.key(5), dtype=jnp.float64,
+            packing="hybrid", model_savers=savers)
+        kind, params, ms = runner._snapshot_sample()
+        assert kind == ("unpacked" if savers else "packed")
+        live = live_ptrs(runner)
+        snap_leaves = jax.tree_util.tree_leaves((params, ms))
+        assert snap_leaves
+        for leaf in snap_leaves:
+            try:
+                p = leaf.unsafe_buffer_pointer()
+            except Exception:
+                continue
+            assert p not in live, "snapshot aliases the live chain state"
