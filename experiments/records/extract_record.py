@@ -69,6 +69,29 @@ def extract(log_dir):
     # roll-up: prefer the dispatch-to-dispatch wall rate (the honest
     # pipelined production metric); fall back to the fetch-forced one.
     rollup = {}
+    # primary: aggregate rate over the TOTAL dispatch-to-dispatch wall
+    # (robust to the drain-queue's lumpy per-epoch walls: the main
+    # thread runs ahead until the queue fills, so individual wall_s
+    # entries mix near-zero and multi-epoch values)
+    wall = next((c.get("timings/wall_s") for c in chains
+                 if c.get("timings/wall_s")), None)
+    if wall:
+        wall = [v for v in wall if v is not None]
+    c0 = chains[0] if chains else {}
+    n_ch = c0.get("n_chains") or len(chains)
+    if wall:
+        vals = [v for v in wall if v is not None]
+        steps_per_epoch = None
+        agg1 = [v for v in (c0.get("timings/aggregate_steps_per_s") or [])
+                if v is not None]
+        ep1 = [v for v in (c0.get("timings/epoch_s") or [])
+               if v is not None]
+        if agg1 and ep1:
+            steps_per_epoch = agg1[0] * ep1[0]  # n_chains * n_full
+        if vals and steps_per_epoch:
+            rollup["wall_epoch_series_s"] = [round(v, 3) for v in vals]
+            rollup["wall_total_aggregate_steps_per_s"] = round(
+                len(vals) * steps_per_epoch / sum(vals), 1)
     for key, tag in (("timings/wall_aggregate_steps_per_s", "wall"),
                      ("timings/aggregate_steps_per_s", "fetch")):
         agg = next((c.get(key) for c in chains if c.get(key)), None)
