@@ -238,6 +238,22 @@ class MultiChainRunner:
                 "TPU (PERF.md: the masked-dense grouped-conv rewrite "
                 "cancels the chain-axis win); set compute_dtype='bfloat16' "
                 "for the measured 1.7x chain-axis speedup.")
+        # watchdog guard: some transports (the axon tunnel: measured
+        # ~60s, PERF.md r5) kill any single dispatch that runs too long.
+        # One epoch is one dispatch covering ALL chains, so estimate its
+        # duration from the measured per-chip rates and warn early
+        # instead of dying mid-run with "TPU worker process crashed".
+        rate = self.MEASURED_GROUP_RATES.get(
+            int(k_per_dev), min(self.MEASURED_GROUP_RATES.values()))
+        est_s = self.n_chains * self.n_full / (rate * max(n_dev, 1))
+        if est_s > 50.0:
+            warnings.warn(
+                f"one epoch dispatch covers {self.n_chains} chains x "
+                f"{self.n_full} steps ~= {est_s:.0f}s of device time; "
+                "transports with a per-dispatch watchdog (~60s on the "
+                "axon tunnel) will kill the worker. Split the bank into "
+                "sequential programs (sweep_tempering "
+                "max_chains_per_program) or use more devices.")
 
     def _host(self, tree):
         "device->host; works for multi-host global arrays (tiny gathers)"
