@@ -159,7 +159,7 @@ def main():
     # (compute_dtype='bfloat16', train_bnn.py config key) over the
     # hybrid chain state. Measured hybrid K-curve (aggregate
     # steps/s/chip, r5): K=1 1081, K=2 1312, K=3 1362, K=4 1334,
-    # K=6 1247, K=8 1177 — the sweet spot is K=3-4/dispatch; larger
+    # K=5 1313, K=6 1247, K=8 1177 — the sweet spot is K=3-4/dispatch; larger
     # banks run faster as sequential sweet-spot-sized dispatch groups.
     agg = {}
     for K in (3, 4, 8):

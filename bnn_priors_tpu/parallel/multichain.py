@@ -53,7 +53,7 @@ class MultiChainRunner:
 
     # Measured on TPU v5e (PERF.md r5 K-curve, hybrid state + bf16):
     # aggregate steps/s/chip peaks at K=3-4/dispatch (K=1 1081, K=2 1312,
-    # K=3 1362, K=4 1334, K=6 1247, K=8 1177). The warning threshold
+    # K=3 1362, K=4 1334, K=5 1313, K=6 1247, K=8 1177). The warning threshold
     # matches the measured peak = CHAIN_GROUP_TARGET: anything above it
     # means dispatch grouping was disabled or could not split the bank,
     # and aggregate throughput regresses off the peak.
@@ -61,7 +61,7 @@ class MultiChainRunner:
     # measured aggregate steps/s/chip per chains-per-dispatch (PERF.md r5
     # hybrid K-curve); _dispatch_groups prefers the fastest divisor
     MEASURED_GROUP_RATES = {1: 1081, 2: 1312, 3: 1362, 4: 1334,
-                            6: 1247, 8: 1177}
+                            5: 1313, 6: 1247, 8: 1177}
 
     def __init__(self, model, train_data, n_chains, temperatures=1.0,
                  kernel="VerletSGLD", learning_rate=1e-2, momentum=0.994,
