@@ -41,6 +41,10 @@ def test_group_split_math():
     assert r._dispatch_groups() == (4, 2)
     r = _mk(MultiChainRunner, 7, None)   # prime bank: largest divisor <= 4
     assert r._dispatch_groups() == (7, 1)
+    r = _mk(MultiChainRunner, 12, None)  # rate-based auto: 3 (1362) over 4
+    assert r._dispatch_groups() == (4, 3)
+    r = _mk(MultiChainRunner, 10, None)  # 5 divides but exceeds target=4
+    assert r._dispatch_groups() == (5, 2)
 
 
 @pytest.mark.parametrize("runner_cls", [MultiChainRunner,
